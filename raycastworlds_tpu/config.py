@@ -1,0 +1,191 @@
+"""Static environment configuration.
+
+The reference's entire config system is keyword arguments with defaults on two
+constructors (``SingleRoomWorld`` kwargs, /root/reference/src/single_room.jl:42-53,
+and the 3 extra rendering kwargs on ``SingleRoom``,
+/root/reference/src/single_room.jl:258-272).  Here that becomes a frozen,
+hashable dataclass so the whole config is a *static* jit argument: every field
+participates in the compilation cache key and XLA sees only concrete shapes.
+
+Unlike the Julia code (1-indexed), everything here is 0-indexed:
+tile ``(i, j)`` occupies world units ``[i, i+1) x [j, j+1)`` with center
+``(i+0.5, j+0.5)``; ``wu_to_tu(x) = floor(x)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any, Tuple
+
+import numpy as np
+
+# Object channels of the tile map (reference: /root/reference/src/single_room.jl:16-18).
+NUM_OBJECTS = 2
+WALL = 0
+GOAL = 1
+
+# Discrete action set (reference: /root/reference/src/single_room.jl:19,139-191).
+NUM_ACTIONS = 4
+MOVE_FORWARD = 0
+MOVE_BACKWARD = 1
+TURN_LEFT = 2
+TURN_RIGHT = 3
+
+ACTION_NAMES = ("MOVE_FORWARD", "MOVE_BACKWARD", "TURN_LEFT", "TURN_RIGHT")
+
+# Hit-face axis returned by the raycaster: 0 = face perpendicular to the
+# i/x-axis, 1 = perpendicular to the j/y-axis (reference hit_dimension 1/2,
+# call contract at /root/reference/src/single_room.jl:223-227).
+HIT_DIM_I = 0
+HIT_DIM_J = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """Mirrors the reference's 12 constructor kwargs exactly, plus TPU knobs.
+
+    World kwargs (reference /root/reference/src/single_room.jl:42-53):
+    """
+
+    height_tile_map_tu: int = 8
+    width_tile_map_tu: int = 16
+    num_directions: int = 128          # angle units; 0 = +x axis
+    player_radius_wu: float = 0.125    # must be < 0.5
+    position_increment_wu: float = 0.125
+    semi_field_of_view_wu: float = 2.0 / 3.0
+    num_rays: int = 512
+    goal_reward: float = 1.0
+
+    # Rendering kwargs (reference /root/reference/src/single_room.jl:269-271).
+    pu_per_tu: int = 32
+    camera_height_tile_wu: float = 1.0
+    height_camera_view_pu: int = 256
+
+    # TPU-native knobs (no reference equivalent).
+    # Fixed DDA trip count; <=0 means use the map-diameter bound H+W, which is
+    # sufficient for any map with solid border walls.
+    max_dda_steps: int = 0
+    # Observation produced by `step`/`reset`:
+    #   "camera_u32" : [H_pu, num_rays] uint32 0x00RRGGBB (reference parity,
+    #                  RLBase.state at /root/reference/src/single_room.jl:576)
+    #   "camera_rgb" : [H_pu, num_rays, 3] uint8
+    #   "camera_gray": [H_pu, num_rays] float32 in [0, 1]
+    #   "depth"      : [num_rays] float32 projected (fisheye-corrected) depth
+    #   "tile_grid"  : [H, W] int32 object grid (0 empty / 1 wall / 2 goal)
+    obs_type: str = "camera_u32"
+    # Raycast backend: "scan" (lax.scan DDA), "pallas" (fused TPU kernel),
+    # or "auto" (pallas on TPU when supported, else scan).
+    raycast_backend: str = "auto"
+
+    def __post_init__(self):
+        if self.height_tile_map_tu < 3 or self.width_tile_map_tu < 3:
+            raise ValueError("tile map must be at least 3x3 (border walls + interior)")
+        if not (0.0 < self.player_radius_wu < 0.5):
+            raise ValueError("player_radius_wu must be in (0, 0.5)")
+        if self.num_rays < 2:
+            raise ValueError("num_rays must be >= 2")
+        if self.num_directions < 1:
+            raise ValueError("num_directions must be >= 1")
+        if self.obs_type not in (
+            "camera_u32", "camera_rgb", "camera_gray", "depth", "tile_grid",
+        ):
+            raise ValueError(f"unknown obs_type: {self.obs_type}")
+        if self.raycast_backend not in ("scan", "pallas", "auto"):
+            raise ValueError(f"unknown raycast_backend: {self.raycast_backend}")
+
+    # ------------------------------------------------------------------
+    # Derived static quantities
+    # ------------------------------------------------------------------
+
+    @property
+    def H(self) -> int:
+        return self.height_tile_map_tu
+
+    @property
+    def W(self) -> int:
+        return self.width_tile_map_tu
+
+    @property
+    def dda_steps(self) -> int:
+        if self.max_dda_steps > 0:
+            return self.max_dda_steps
+        return self.height_tile_map_tu + self.width_tile_map_tu
+
+    @property
+    def obs_shape(self) -> Tuple[int, ...]:
+        if self.obs_type == "camera_u32":
+            return (self.height_camera_view_pu, self.num_rays)
+        if self.obs_type == "camera_rgb":
+            return (self.height_camera_view_pu, self.num_rays, 3)
+        if self.obs_type == "camera_gray":
+            return (self.height_camera_view_pu, self.num_rays)
+        if self.obs_type == "depth":
+            return (self.num_rays,)
+        if self.obs_type == "tile_grid":
+            return (self.height_tile_map_tu, self.width_tile_map_tu)
+        raise AssertionError(self.obs_type)
+
+    @property
+    def top_view_shape(self) -> Tuple[int, int]:
+        return (
+            self.height_tile_map_tu * self.pu_per_tu,
+            self.width_tile_map_tu * self.pu_per_tu,
+        )
+
+    # ------------------------------------------------------------------
+    # Host-side constants (computed in float64 then cast, so the embedded
+    # constants are bit-identical across CPU/TPU backends — important for the
+    # fixed-seed parity guarantee; the reference computes the same LUT at
+    # construction, /root/reference/src/single_room.jl:65-69).
+    # ------------------------------------------------------------------
+
+    @functools.cached_property
+    def directions_wu(self) -> np.ndarray:
+        """[num_directions, 2] float32 unit vectors; angle au*2*pi/D, 0 = +x."""
+        d = self.num_directions
+        theta = np.arange(d, dtype=np.float64) * (2.0 * math.pi / d)
+        return np.stack(
+            [np.cos(theta), np.sin(theta)], axis=-1
+        ).astype(np.float32)
+
+    @functools.cached_property
+    def ray_fan_lut(self) -> np.ndarray:
+        """[num_directions, num_rays, 2] float32 normalized ray directions.
+
+        The fan depends only on the (discrete) heading, so it is precomputed
+        host-side in float64 and cast once.  This is both faster (per-step fan
+        generation becomes one dynamic-slice) and bit-deterministic across
+        XLA backends (elementwise recomputation is subject to backend FMA
+        fusion, which changes low bits).
+
+        Geometry (ref /root/reference/src/single_room.jl:213-221): rays lerp
+        linearly across the camera plane from ``dir + sfov*cam`` to
+        ``dir - sfov*cam`` with ``cam = rotate_minus_90(dir)``, then
+        normalize.
+        """
+        d = self.num_directions
+        r = self.num_rays
+        theta = np.arange(d, dtype=np.float64) * (2.0 * math.pi / d)
+        dirs = np.stack([np.cos(theta), np.sin(theta)], axis=-1)  # [D, 2]
+        cam = np.stack([dirs[:, 1], -dirs[:, 0]], axis=-1)        # [D, 2]
+        s = float(self.semi_field_of_view_wu)
+        first = dirs + s * cam                                    # [D, 2]
+        last = dirs - s * cam
+        t = (np.arange(r, dtype=np.float64) / (r - 1))[None, :, None]
+        un = first[:, None, :] + t * (last - first)[:, None, :]   # [D, R, 2]
+        un /= np.linalg.norm(un, axis=-1, keepdims=True)
+        return un.astype(np.float32)
+
+    @functools.cached_property
+    def border_wall_map(self) -> np.ndarray:
+        """[H, W] bool — walls on the border (reference :57-60)."""
+        m = np.zeros((self.H, self.W), dtype=bool)
+        m[0, :] = m[-1, :] = True
+        m[:, 0] = m[:, -1] = True
+        return m
+
+
+def replace(cfg: EnvConfig, **kw: Any) -> EnvConfig:
+    return dataclasses.replace(cfg, **kw)

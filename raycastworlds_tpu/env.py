@@ -1,0 +1,138 @@
+"""Batched environment API — the RLBase-adapter analog, TPU-native.
+
+The reference adapts its game to ReinforcementLearningBase with a thin
+wrapper (/root/reference/src/rlbase.jl:1-7,
+/root/reference/src/single_room.jl:570-584): ``state`` is the raw camera
+view, ``action_space`` is 4 discrete actions, ``reward``/``is_terminated``
+forward world fields.
+
+Here the adapter is a Gymnasium/gymnax-style batched functional API:
+
+    env = Env(SingleRoom(cfg), num_envs=1024)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    state, obs, reward, done, info = env.step(state, actions)
+
+Everything is jitted with donated state buffers; with ``auto_reset=True``
+(default) terminated envs are re-initialized inside the same step — the
+returned ``reward``/``done`` describe the terminating transition while
+``obs``/``state`` already belong to the next episode (the standard batched-RL
+convention; the reference leaves resetting to the caller,
+/root/reference/src/single_room.jl:139-191 ``done`` non-sticky).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .models.base import Game
+from .state import EnvState
+
+
+class StepResult(NamedTuple):
+    state: EnvState
+    obs: jax.Array
+    reward: jax.Array
+    done: jax.Array
+    info: Dict[str, jax.Array]
+
+
+class Space(NamedTuple):
+    """Minimal space descriptor (no gym dependency)."""
+
+    shape: Tuple[int, ...]
+    dtype: Any
+    n: Optional[int] = None  # discrete cardinality, None for boxes
+
+
+def _select(pred, on_true, on_false):
+    """Per-env tree select; pred is bool[B], leaves have leading B."""
+
+    def one(a, b):
+        p = pred.reshape(pred.shape + (1,) * (a.ndim - pred.ndim))
+        return jnp.where(p, a, b)
+
+    return jax.tree_util.tree_map(one, on_true, on_false)
+
+
+class Env:
+    """Batched, jitted, auto-resetting environment."""
+
+    def __init__(
+        self,
+        game: Game,
+        num_envs: int = 1,
+        auto_reset: bool = True,
+        jit: bool = True,
+        donate: bool = False,
+    ):
+        self.game = game
+        self.cfg = game.cfg
+        self.num_envs = num_envs
+        self.auto_reset = auto_reset
+        self._reset = jax.jit(self._reset_impl) if jit else self._reset_impl
+        # donate=True reuses the state buffers across steps (use in step-wise
+        # drivers; leave off if the previous state is read after stepping).
+        self._step = (
+            jax.jit(self._step_impl, donate_argnums=(0,) if donate else ())
+            if jit
+            else self._step_impl
+        )
+
+    # -- spaces ---------------------------------------------------------
+
+    @property
+    def action_space(self) -> Space:
+        return Space(shape=(), dtype=jnp.int32, n=self.game.num_actions)
+
+    @property
+    def observation_space(self) -> Space:
+        cfg = self.cfg
+        dtypes = {
+            "camera_u32": jnp.uint32,
+            "camera_rgb": jnp.uint8,
+            "camera_gray": jnp.float32,
+            "depth": jnp.float32,
+            "tile_grid": jnp.int32,
+        }
+        return Space(shape=cfg.obs_shape, dtype=dtypes[cfg.obs_type])
+
+    # -- impl -----------------------------------------------------------
+
+    def _reset_impl(self, key: jax.Array):
+        keys = jax.random.split(key, self.num_envs)
+        state = jax.vmap(self.game.reset_single)(keys)
+        obs = jax.vmap(self.game.observe_single)(state)
+        return state, obs
+
+    def _step_impl(self, state: EnvState, action: jax.Array) -> StepResult:
+        stepped = jax.vmap(self.game.step_single)(state, action)
+        info = {
+            "terminal_t": stepped.t,
+            "episode_return": stepped.episode_return,
+        }
+        if self.auto_reset:
+            fresh = jax.vmap(self.game.reset_single)(stepped.rng_key)
+            nxt = _select(stepped.done, fresh, stepped)
+            # reward/done of the terminating transition survive the reset
+            nxt = nxt.replace(reward=stepped.reward, done=stepped.done)
+        else:
+            nxt = stepped
+        obs = jax.vmap(self.game.observe_single)(nxt)
+        return StepResult(nxt, obs, stepped.reward, stepped.done, info)
+
+    # -- public ---------------------------------------------------------
+
+    def reset(self, key: jax.Array) -> Tuple[EnvState, jax.Array]:
+        return self._reset(key)
+
+    def step(self, state: EnvState, action: jax.Array) -> StepResult:
+        return self._step(state, action)
+
+    def sample_action(self, key: jax.Array) -> jax.Array:
+        return jax.random.randint(
+            key, (self.num_envs,), 0, self.game.num_actions, dtype=jnp.int32
+        )

@@ -1,0 +1,122 @@
+"""Game base class: shared step / observe logic for all world families.
+
+The reference declares ``AbstractGame`` plus generic-function stubs
+(/root/reference/src/RayCastWorlds.jl:5-14) and implements them per game.
+Here a ``Game`` is a *stateless* object carrying only the static ``EnvConfig``;
+all dynamics are pure functions of ``(EnvState, action)`` so they jit/vmap/
+shard freely.  Subclasses provide ``reset_single`` (map + goal + spawn
+generation — the only part that differs between world families).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import (
+    EnvConfig,
+    MOVE_FORWARD,
+    TURN_LEFT,
+    TURN_RIGHT,
+)
+from ..ops import collision, raycast, render
+from ..state import EnvState
+
+
+class Game:
+    """Base game over the generic grid-world dynamics."""
+
+    def __init__(self, cfg: EnvConfig):
+        self.cfg = cfg
+
+    # -- per-family -----------------------------------------------------
+
+    def reset_single(self, key: jax.Array) -> EnvState:
+        raise NotImplementedError
+
+    # -- shared dynamics ------------------------------------------------
+
+    def step_single(self, state: EnvState, action: jax.Array) -> EnvState:
+        """One action on one env; branch-free translation of ``act!``
+        (/root/reference/src/single_room.jl:139-191):
+
+        * actions 0/1 translate along the heading LUT vector; the candidate
+          position is collision-tested against the goal and the walls
+          separately (:162-163); a goal hit pays ``goal_reward`` and
+          terminates **without moving** (:166-168); a wall hit blocks
+          (:169-172); otherwise the move commits (:173-177).
+        * actions 2/3 turn by +/-1 angle unit, modular (:179-187).
+        * ``done``/``reward`` are re-derived every step (not sticky), as in
+          the reference.
+        """
+        cfg = self.cfg
+        dtype = state.pos_wu.dtype
+        lut = jnp.asarray(cfg.directions_wu, dtype)
+        dir_wu = lut[state.dir_au]
+
+        moving = action < 2
+        sign = jnp.where(action == MOVE_FORWARD, 1.0, -1.0).astype(dtype)
+        cand = state.pos_wu + sign * jnp.asarray(
+            cfg.position_increment_wu, dtype
+        ) * dir_wu
+
+        r = cfg.player_radius_wu
+        hit_goal = moving & collision.is_colliding_with_goal(
+            cand, state.goal_tu, r
+        )
+        hit_wall = moving & collision.is_player_colliding(
+            state.wall_map, cand, r
+        )
+
+        reward = jnp.where(
+            hit_goal, jnp.asarray(cfg.goal_reward, dtype), jnp.asarray(0, dtype)
+        )
+        done = hit_goal
+        new_pos = jnp.where(moving & ~hit_goal & ~hit_wall, cand, state.pos_wu)
+
+        turn = jnp.where(
+            action == TURN_LEFT, 1, jnp.where(action == TURN_RIGHT, -1, 0)
+        )
+        new_dir = jnp.mod(
+            state.dir_au + jnp.where(moving, 0, turn), cfg.num_directions
+        )
+
+        return state.replace(
+            pos_wu=new_pos,
+            dir_au=new_dir,
+            reward=reward,
+            done=done,
+            t=state.t + 1,
+            episode_return=state.episode_return + reward,
+        )
+
+    def cast_single(self, state: EnvState) -> raycast.RayHits:
+        """Ray-cast the current pose (``cast_rays!``, ref :195-231).  The
+        obstacle map is the union of object channels (ref :209) — walls plus
+        one scattered goal bit."""
+        obstacle = state.wall_map.at[
+            state.goal_tu[0], state.goal_tu[1]
+        ].set(True)
+        return raycast.cast_rays(
+            self.cfg, obstacle, state.pos_wu, state.dir_au
+        )
+
+    def observe_single(self, state: EnvState) -> jax.Array:
+        cfg = self.cfg
+        hits = self.cast_single(state)
+        lut = jnp.asarray(cfg.directions_wu, state.pos_wu.dtype)
+        player_dir = lut[state.dir_au]
+        return render.render_observation(
+            cfg, state.wall_map, state.goal_tu, player_dir, hits
+        )
+
+    # -- conveniences ---------------------------------------------------
+
+    @property
+    def num_actions(self) -> int:
+        return 4
+
+    def action_names(self):
+        from ..config import ACTION_NAMES
+
+        return ACTION_NAMES

@@ -1,0 +1,50 @@
+"""SingleRoom: the reference's (only) game.
+
+A walled rectangular room with one goal tile and a circular player
+(/root/reference/src/single_room.jl:21-137).  Reset semantics follow
+``RCW.reset!`` (:110-137): fresh goal uniform over the interior, player spawn
+uniform over empty tiles, heading uniform over angle units, rays cast — all
+from a per-env PRNG key split in a fixed documented order
+(goal, spawn, heading), replacing the reference's shared-RNG draw order
+(:118-129).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EnvConfig
+from ..ops import sampling
+from ..state import EnvState
+from .base import Game
+
+
+class SingleRoom(Game):
+    def reset_single(self, key: jax.Array) -> EnvState:
+        cfg = self.cfg
+        next_key, k_goal, k_spawn, k_dir = jax.random.split(key, 4)
+
+        wall_map = jnp.asarray(cfg.border_wall_map)
+        goal_tu = sampling.sample_interior_tile(k_goal, cfg.H, cfg.W)
+        occupied = wall_map.at[goal_tu[0], goal_tu[1]].set(True)
+        spawn_tu = sampling.sample_empty_tile(k_spawn, occupied)
+        pos_wu = spawn_tu.astype(jnp.float32) + 0.5  # tile center (ref :125)
+        dir_au = sampling.sample_heading(k_dir, cfg.num_directions)
+
+        zero = jnp.float32(0)
+        return EnvState(
+            wall_map=wall_map,
+            goal_tu=goal_tu,
+            pos_wu=pos_wu,
+            dir_au=dir_au,
+            reward=zero,
+            done=jnp.asarray(False),
+            rng_key=next_key,
+            t=jnp.int32(0),
+            episode_return=zero,
+        )
+
+
+def make(cfg: EnvConfig | None = None, **kw) -> SingleRoom:
+    return SingleRoom(cfg if cfg is not None else EnvConfig(**kw))

@@ -1,0 +1,169 @@
+"""Ray-fan generation and the DDA wall-intersection raycaster.
+
+The reference delegates the per-ray DDA march to the external RayCaster.jl
+package with data-dependent trip count (contract at
+/root/reference/src/single_room.jl:223-227: boolean obstacle grid + origin +
+normalized direction -> hit tile, hit-face axis, euclidean distance along the
+ray to the hit face), and generates the ray fan by *linear interpolation
+across the camera plane* (not angular) at
+/root/reference/src/single_room.jl:213-221.
+
+TPU-native re-conception: all rays of an env march in lockstep as [R]-shaped
+vectors under a fixed trip count (map diameter H+W suffices for maps with
+solid border walls), with a hit mask freezing finished rays — no
+data-dependent control flow, fully vmappable and XLA-fusable.  A Pallas
+kernel with the same contract lives in raycast_pallas.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EnvConfig
+
+
+class RayHits(NamedTuple):
+    """Per-ray cast results (the reference's ray buffers,
+    /root/reference/src/single_room.jl:76-79, as values not state)."""
+
+    ray_dirs: jax.Array   # f32[R, 2] normalized ray directions
+    hit_tu: jax.Array     # i32[R, 2] hit tile (0-indexed)
+    hit_dim: jax.Array    # i32[R]    0 = i-face, 1 = j-face
+    dist_wu: jax.Array    # f32[R]    euclidean distance along ray to hit face
+
+
+def ray_fan(cfg: EnvConfig, player_dir_wu: jax.Array) -> jax.Array:
+    """Normalized ray directions for one env: f32[num_rays, 2].
+
+    Camera-plane model (ref :214-221): ``camera_dir = rotate_minus_90(dir)``,
+    rays lerp linearly from ``dir + sfov*cam`` to ``dir - sfov*cam`` then
+    normalize.  Division by the sqrt-norm (not rsqrt) keeps results
+    bit-reproducible across CPU/TPU backends.
+    """
+    d = player_dir_wu
+    cam = jnp.stack([d[1], -d[0]])  # rotate_minus_90, ref :193
+    s = jnp.asarray(cfg.semi_field_of_view_wu, d.dtype)
+    first = d + s * cam
+    last = d - s * cam
+    r = cfg.num_rays
+    t = (jnp.arange(r, dtype=d.dtype) / (r - 1))[:, None]  # [R, 1]
+    un = first[None, :] + t * (last - first)[None, :]      # [R, 2]
+    norm = jnp.sqrt(jnp.sum(un * un, axis=-1, keepdims=True))
+    return un / norm
+
+
+def cast_rays_scan(
+    obstacle_map: jax.Array,
+    pos_wu: jax.Array,
+    ray_dirs: jax.Array,
+    max_steps: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Branch-free DDA for all rays of one env (vmap over envs).
+
+    Args:
+      obstacle_map: bool[H, W] — union of all object channels
+        (ref :209 ``any(tile_map, dims=1)``).
+      pos_wu: f32[2] ray origin.
+      ray_dirs: f32[R, 2] normalized directions.
+      max_steps: static trip count (>= map diameter for guaranteed hit).
+
+    Returns (hit_tu i32[R, 2], hit_dim i32[R], dist_wu f32[R]).
+
+    Algorithm: classic Lodev/Wolfenstein DDA.  With normalized direction,
+    ``delta = |1/d|`` is the ray length per unit axis step; ``side`` is the
+    accumulated ray length to the *next* gridline crossing per axis.  Each
+    iteration steps the axis with the smaller ``side``; the crossing distance
+    is that pre-increment ``side``.  Rays that have hit are frozen by a mask.
+    """
+    h, w = obstacle_map.shape
+    dtype = ray_dirs.dtype
+    obstacle_flat = obstacle_map.reshape(-1)
+
+    dx = ray_dirs[:, 0]
+    dy = ray_dirs[:, 1]
+    px = pos_wu[0]
+    py = pos_wu[1]
+
+    map_i = jnp.floor(px).astype(jnp.int32) * jnp.ones_like(dx, jnp.int32)
+    map_j = jnp.floor(py).astype(jnp.int32) * jnp.ones_like(dx, jnp.int32)
+
+    delta_i = jnp.abs(1.0 / dx)  # IEEE: +inf where dx == 0
+    delta_j = jnp.abs(1.0 / dy)
+    step_i = jnp.where(dx < 0, -1, 1).astype(jnp.int32)
+    step_j = jnp.where(dy < 0, -1, 1).astype(jnp.int32)
+
+    frac_i = px - jnp.floor(px)
+    frac_j = py - jnp.floor(py)
+    side_i = jnp.where(dx < 0, frac_i, 1.0 - frac_i) * delta_i
+    side_j = jnp.where(dy < 0, frac_j, 1.0 - frac_j) * delta_j
+
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    class _S(NamedTuple):
+        map_i: jax.Array
+        map_j: jax.Array
+        side_i: jax.Array
+        side_j: jax.Array
+        hit: jax.Array
+        hit_dim: jax.Array
+        dist: jax.Array
+
+    init = _S(
+        map_i=map_i,
+        map_j=map_j,
+        side_i=side_i,
+        side_j=side_j,
+        hit=jnp.zeros_like(dx, bool),
+        hit_dim=jnp.zeros_like(dx, jnp.int32),
+        dist=jnp.full_like(dx, big),
+    )
+
+    def body(s: _S, _):
+        take_i = s.side_i < s.side_j  # tie -> step j, matching Lodev's branch
+        adv = ~s.hit
+        cross = jnp.minimum(s.side_i, s.side_j)
+        nmap_i = s.map_i + jnp.where(adv & take_i, step_i, 0)
+        nmap_j = s.map_j + jnp.where(adv & ~take_i, step_j, 0)
+        nside_i = s.side_i + jnp.where(adv & take_i, delta_i, 0.0)
+        nside_j = s.side_j + jnp.where(adv & ~take_i, delta_j, 0.0)
+        # Occupancy lookup at the (possibly) advanced tile.  Clip keeps the
+        # gather in-bounds; with solid border walls clipping is never reached
+        # before a hit.
+        idx = jnp.clip(nmap_i, 0, h - 1) * w + jnp.clip(nmap_j, 0, w - 1)
+        occ = obstacle_flat[idx]
+        newly = adv & occ
+        return _S(
+            map_i=nmap_i,
+            map_j=nmap_j,
+            side_i=nside_i,
+            side_j=nside_j,
+            hit=s.hit | occ,
+            hit_dim=jnp.where(newly, jnp.where(take_i, 0, 1), s.hit_dim),
+            dist=jnp.where(newly, cross, s.dist),
+        ), None
+
+    final, _ = jax.lax.scan(body, init, None, length=max_steps)
+    hit_tu = jnp.stack([final.map_i, final.map_j], axis=-1)
+    return hit_tu, final.hit_dim, final.dist
+
+
+def cast_rays(
+    cfg: EnvConfig,
+    obstacle_map: jax.Array,
+    pos_wu: jax.Array,
+    dir_au: jax.Array,
+) -> RayHits:
+    """Full cast for one env (ref ``cast_rays!``, single_room.jl:195-231).
+
+    The ray fan is a precomputed per-heading LUT (see
+    ``EnvConfig.ray_fan_lut``) — one dynamic-slice instead of recomputing
+    trig + normalize every step, and bit-identical on every backend.
+    """
+    dirs = jnp.asarray(cfg.ray_fan_lut)[dir_au]  # [R, 2]
+    hit_tu, hit_dim, dist = cast_rays_scan(
+        obstacle_map, pos_wu, dirs, cfg.dda_steps
+    )
+    return RayHits(ray_dirs=dirs, hit_tu=hit_tu, hit_dim=hit_dim, dist_wu=dist)

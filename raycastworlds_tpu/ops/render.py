@@ -1,0 +1,149 @@
+"""Camera-view renderer — the RL observation.
+
+Reference: ``update_camera_view!`` (/root/reference/src/single_room.jl:374-444):
+per ray, fisheye-correct the DDA distance by the dot with the player direction,
+compute a wall-column height, pick a two-shade color by (wall-or-goal x
+hit-face axis), and write a mirrored ceiling/wall/floor column.
+
+TPU-native re-conception: no per-column loop or branches — the whole
+[H_pu, R] image is a single vectorized compare-and-select over a row-index
+iota against per-ray padding, which XLA fuses with the DDA epilogue into one
+kernel.  The reference's ``for i; if/else`` per column disappears entirely.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import colors
+from ..config import EnvConfig
+from .raycast import RayHits
+
+
+def projected_depth(player_dir_wu: jax.Array, hits: RayHits) -> jax.Array:
+    """Fisheye-corrected depth per ray: ``dist * dot(player_dir, ray_dir)``
+    (ref :404)."""
+    return hits.dist_wu * jnp.sum(player_dir_wu[None, :] * hits.ray_dirs, axis=-1)
+
+
+def column_colors_u32(
+    wall_map: jax.Array, hits: RayHits
+) -> jax.Array:
+    """Per-ray wall-slab color, uint32[R].
+
+    Ref :417-429: if the hit tile has the WALL bit -> wall shades, else goal
+    shades; shade picked by hit-face axis (two shades fake lighting).
+    """
+    hi = hits.hit_tu[:, 0]
+    hj = hits.hit_tu[:, 1]
+    h, w = wall_map.shape
+    is_wall = wall_map[jnp.clip(hi, 0, h - 1), jnp.clip(hj, 0, w - 1)]
+    dim_i = hits.hit_dim == 0
+    wall_c = jnp.where(
+        dim_i,
+        jnp.uint32(colors.WALL_DIM_I),
+        jnp.uint32(colors.WALL_DIM_J),
+    )
+    goal_c = jnp.where(
+        dim_i,
+        jnp.uint32(colors.GOAL_DIM_I),
+        jnp.uint32(colors.GOAL_DIM_J),
+    )
+    return jnp.where(is_wall, wall_c, goal_c)
+
+
+def render_camera_u32(
+    cfg: EnvConfig,
+    wall_map: jax.Array,
+    player_dir_wu: jax.Array,
+    hits: RayHits,
+) -> jax.Array:
+    """uint32[H_pu, num_rays] 0x00RRGGBB camera view for one env.
+
+    Bit-exact with the reference algorithm (:401-441) under 0-indexing:
+      height_line = cam_h * R / (2 * sfov * projected)       (:406)
+      non-finite height -> full column                        (:407-411)
+      height_pu >= H_pu - 1 -> full wall column               (:433-434)
+      else padding = (H_pu - height_pu) // 2, rows [0, pad) ceiling,
+      [pad, H_pu - pad) wall, [H_pu - pad, H_pu) floor        (:436-439)
+      column k = R - 1 - i (mirrored)                         (:431)
+    """
+    import numpy as np
+
+    hpu = cfg.height_camera_view_pu
+    r = cfg.num_rays
+    proj = projected_depth(player_dir_wu, hits)  # f32[R]
+    # Host-computed f32 constants (identical in the NumPy oracle) keep the
+    # expression bit-reproducible across backends.
+    num = jnp.asarray(np.float32(cfg.camera_height_tile_wu * r), proj.dtype)
+    denom_c = jnp.asarray(np.float32(2.0 * cfg.semi_field_of_view_wu), proj.dtype)
+    height_line = num / (denom_c * proj)
+    finite = jnp.isfinite(height_line)
+    # Clamp before the int cast (avoids int overflow); clamping at hpu keeps
+    # the `>= hpu - 1` full-column predicate intact.
+    h_pu = jnp.where(
+        finite,
+        jnp.floor(jnp.minimum(height_line, jnp.asarray(hpu, proj.dtype))).astype(jnp.int32),
+        hpu,
+    )
+    full = h_pu >= hpu - 1
+    pad = jnp.where(full, 0, (hpu - h_pu) // 2)  # i32[R]
+
+    slab = column_colors_u32(wall_map, hits)  # u32[R]
+    row = jnp.arange(hpu, dtype=jnp.int32)[:, None]  # [H_pu, 1]
+    img = jnp.where(
+        row < pad[None, :],
+        jnp.uint32(colors.CEILING),
+        jnp.where(
+            row >= (hpu - pad)[None, :],
+            jnp.uint32(colors.FLOOR),
+            slab[None, :],
+        ),
+    )
+    return jnp.flip(img, axis=1)  # mirrored columns (:431)
+
+
+def u32_to_rgb(img: jax.Array) -> jax.Array:
+    """Unpack 0x00RRGGBB -> uint8[..., 3] on device."""
+    return jnp.stack(
+        [
+            (img >> 16) & 0xFF,
+            (img >> 8) & 0xFF,
+            img & 0xFF,
+        ],
+        axis=-1,
+    ).astype(jnp.uint8)
+
+
+def u32_to_gray(img: jax.Array) -> jax.Array:
+    """Rec.601 luma in [0, 1] float32."""
+    r = ((img >> 16) & 0xFF).astype(jnp.float32)
+    g = ((img >> 8) & 0xFF).astype(jnp.float32)
+    b = (img & 0xFF).astype(jnp.float32)
+    return (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+
+
+def render_observation(
+    cfg: EnvConfig,
+    wall_map: jax.Array,
+    goal_tu: jax.Array,
+    player_dir_wu: jax.Array,
+    hits: RayHits,
+) -> jax.Array:
+    """Dispatch on cfg.obs_type.  The u32 camera view is the reference's RL
+    state (/root/reference/src/single_room.jl:576)."""
+    if cfg.obs_type == "depth":
+        return jnp.flip(projected_depth(player_dir_wu, hits), axis=0)
+    if cfg.obs_type == "tile_grid":
+        h, w = wall_map.shape
+        grid = wall_map.astype(jnp.int32)
+        return grid.at[goal_tu[0], goal_tu[1]].set(2)
+    img = render_camera_u32(cfg, wall_map, player_dir_wu, hits)
+    if cfg.obs_type == "camera_u32":
+        return img
+    if cfg.obs_type == "camera_rgb":
+        return u32_to_rgb(img)
+    if cfg.obs_type == "camera_gray":
+        return u32_to_gray(img)
+    raise AssertionError(cfg.obs_type)

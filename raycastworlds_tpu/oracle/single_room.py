@@ -1,0 +1,260 @@
+"""Scalar NumPy oracle for SingleRoom — the fixed-seed parity target.
+
+An independent, deliberately *naive* reimplementation of the reference
+semantics (/root/reference/src/single_room.jl, utils.jl,
+collision_detection.jl, plus the Lodev DDA contract of RayCaster.jl at
+single_room.jl:223-227): mutable state, Python branches, per-ray while-loops,
+per-column render loops — the exact opposite of the TPU build, which is the
+point: agreement between the two is strong evidence both are right.
+
+Only the PRNG is shared infrastructure: reset draws use ``jax.random`` (CPU)
+with the same key-split order as ``SingleRoom.reset_single``, because JAX's
+threefry is deterministic across backends — that is what makes the parity
+*bit-exact* rather than merely statistical.  All game logic here is NumPy.
+
+Indexing is 0-based like the TPU build (the Julia reference is 1-based; the
+translation is ``wu_to_tu(x) = floor(x)`` and tile centers at ``i + 0.5``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import numpy as np
+
+from ..config import EnvConfig
+from .. import colors
+
+
+def wu_to_tu(x: float) -> int:
+    return int(math.floor(x))
+
+
+def wu_to_pu(x: float, ppu: int) -> int:
+    return int(math.floor(x * ppu))
+
+
+class OracleSingleRoom:
+    """Mutable single-env world, reference-faithful."""
+
+    def __init__(self, cfg: EnvConfig):
+        self.cfg = cfg
+        h, w = cfg.H, cfg.W
+        self.wall_map = np.array(cfg.border_wall_map, dtype=bool)
+        self.goal_tu = (1, 1)
+        self.pos_wu = np.zeros(2, np.float32)
+        self.dir_au = 0
+        self.reward = np.float32(0)
+        self.done = False
+        self.t = 0
+        self.episode_return = np.float32(0)
+        # float32 LUT identical to EnvConfig.directions_wu
+        self.directions_wu = np.array(cfg.directions_wu, np.float32)
+        self.rng_key = None
+
+    # -- reset (PRNG stream shared with the TPU build) -------------------
+
+    def reset(self, key) -> None:
+        """Same draw order as SingleRoom.reset_single: split(key, 4) ->
+        (next, goal, spawn, heading)."""
+        import jax
+
+        cfg = self.cfg
+        next_key, k_goal, k_spawn, k_dir = jax.random.split(key, 4)
+        gi, gj = np.asarray(
+            jax.random.randint(
+                k_goal, (2,), np.array([1, 1]),
+                np.array([cfg.H - 1, cfg.W - 1]), dtype=np.int32,
+            )
+        )
+        self.goal_tu = (int(gi), int(gj))
+
+        occupied = self.wall_map.copy()
+        occupied[self.goal_tu] = True
+        logits = np.where(occupied.reshape(-1), -np.inf, 0.0).astype(np.float32)
+        idx = int(np.asarray(jax.random.categorical(k_spawn, logits)))
+        si, sj = idx // cfg.W, idx % cfg.W
+        self.pos_wu = np.array([si + 0.5, sj + 0.5], np.float32)
+
+        self.dir_au = int(
+            np.asarray(
+                jax.random.randint(k_dir, (), 0, cfg.num_directions, dtype=np.int32)
+            )
+        )
+        self.reward = np.float32(0)
+        self.done = False
+        self.t = 0
+        self.episode_return = np.float32(0)
+        self.rng_key = next_key
+
+    # -- collision (ref collision_detection.jl) --------------------------
+
+    def _is_colliding(self, obstacle_map: np.ndarray, pos: np.ndarray) -> bool:
+        """3x3 neighborhood scan with early-out (collision_detection.jl:21-42)."""
+        r = np.float32(self.cfg.player_radius_wu)
+        ti, tj = wu_to_tu(pos[0]), wu_to_tu(pos[1])
+        for j in range(tj - 1, tj + 2):
+            for i in range(ti - 1, ti + 2):
+                if not obstacle_map[i, j]:
+                    continue
+                cx = np.float32(i + 0.5)
+                cy = np.float32(j + 0.5)
+                rx = np.float32(pos[0] - cx)
+                ry = np.float32(pos[1] - cy)
+                px = min(max(rx, np.float32(-0.5)), np.float32(0.5))
+                py = min(max(ry, np.float32(-0.5)), np.float32(0.5))
+                d2 = (rx - px) ** 2 + (ry - py) ** 2
+                if d2 < r * r:
+                    return True
+        return False
+
+    def _goal_map(self) -> np.ndarray:
+        m = np.zeros_like(self.wall_map)
+        m[self.goal_tu] = True
+        return m
+
+    # -- act (ref single_room.jl:139-191) --------------------------------
+
+    def step(self, action: int) -> None:
+        assert 0 <= action < 4
+        cfg = self.cfg
+        if action < 2:
+            d = self.directions_wu[self.dir_au]
+            inc = np.float32(cfg.position_increment_wu)
+            if action == 0:
+                cand = (self.pos_wu + inc * d).astype(np.float32)
+            else:
+                cand = (self.pos_wu - inc * d).astype(np.float32)
+            hit_goal = self._is_colliding(self._goal_map(), cand)
+            hit_wall = self._is_colliding(self.wall_map, cand)
+            if hit_goal or hit_wall:
+                if hit_goal:
+                    self.reward = np.float32(cfg.goal_reward)
+                    self.done = True
+                else:
+                    self.reward = np.float32(0)
+                    self.done = False
+            else:
+                self.pos_wu = cand
+                self.reward = np.float32(0)
+                self.done = False
+        else:
+            if action == 2:
+                self.dir_au = (self.dir_au + 1) % cfg.num_directions
+            else:
+                self.dir_au = (self.dir_au - 1) % cfg.num_directions
+            self.reward = np.float32(0)
+            self.done = False
+        self.t += 1
+        self.episode_return = np.float32(self.episode_return + self.reward)
+
+    # -- raycast (ref single_room.jl:193-231 + Lodev DDA) ----------------
+
+    def ray_fan(self) -> np.ndarray:
+        """Per-heading ray directions.  Uses the shared host-side float64 LUT
+        (EnvConfig.ray_fan_lut) — like the direction LUT, the fan is a config
+        constant shared by both implementations; its geometry is
+        independently checked in tests/test_raycast.py."""
+        return np.array(self.cfg.ray_fan_lut[self.dir_au], np.float32)
+
+    def cast_one(
+        self, obstacle_map: np.ndarray, px: float, py: float, dx: float, dy: float
+    ) -> Tuple[int, int, int, float]:
+        """Scalar Lodev DDA.  Returns (i_hit, j_hit, hit_dim in {0,1},
+        euclidean distance along the ray to the hit face)."""
+        px = np.float32(px)
+        py = np.float32(py)
+        dx = np.float32(dx)
+        dy = np.float32(dy)
+        map_i = int(math.floor(px))
+        map_j = int(math.floor(py))
+        with np.errstate(divide="ignore"):
+            delta_i = np.float32(abs(np.float32(1.0) / dx)) if dx != 0 else np.float32(np.inf)
+            delta_j = np.float32(abs(np.float32(1.0) / dy)) if dy != 0 else np.float32(np.inf)
+        step_i = -1 if dx < 0 else 1
+        step_j = -1 if dy < 0 else 1
+        frac_i = np.float32(px - np.float32(math.floor(px)))
+        frac_j = np.float32(py - np.float32(math.floor(py)))
+        side_i = np.float32((frac_i if dx < 0 else np.float32(1.0) - frac_i) * delta_i)
+        side_j = np.float32((frac_j if dy < 0 else np.float32(1.0) - frac_j) * delta_j)
+        h, w = obstacle_map.shape
+        for _ in range(self.cfg.dda_steps):
+            if side_i < side_j:
+                dist = side_i
+                side_i = np.float32(side_i + delta_i)
+                map_i += step_i
+                dim = 0
+            else:
+                dist = side_j
+                side_j = np.float32(side_j + delta_j)
+                map_j += step_j
+                dim = 1
+            ci = min(max(map_i, 0), h - 1)
+            cj = min(max(map_j, 0), w - 1)
+            if obstacle_map[ci, cj]:
+                return map_i, map_j, dim, float(dist)
+        return map_i, map_j, dim, float(np.float32(np.finfo(np.float32).max))
+
+    def cast_rays(self):
+        cfg = self.cfg
+        obstacle = self.wall_map.copy()
+        obstacle[self.goal_tu] = True
+        dirs = self.ray_fan()
+        hit_tu = np.zeros((cfg.num_rays, 2), np.int32)
+        hit_dim = np.zeros(cfg.num_rays, np.int32)
+        dist = np.zeros(cfg.num_rays, np.float32)
+        for i in range(cfg.num_rays):
+            a, b, c, d = self.cast_one(
+                obstacle, self.pos_wu[0], self.pos_wu[1], dirs[i, 0], dirs[i, 1]
+            )
+            hit_tu[i] = (a, b)
+            hit_dim[i] = c
+            dist[i] = d
+        return dirs, hit_tu, hit_dim, dist
+
+    # -- camera view (ref single_room.jl:374-444) ------------------------
+
+    def camera_view(self) -> np.ndarray:
+        cfg = self.cfg
+        hpu = cfg.height_camera_view_pu
+        r = cfg.num_rays
+        img = np.zeros((hpu, r), np.uint32)
+        dirs, hit_tu, hit_dim, dist = self.cast_rays()
+        pd = self.directions_wu[self.dir_au]
+        num = np.float32(cfg.camera_height_tile_wu * r)
+        denom_c = np.float32(2.0 * cfg.semi_field_of_view_wu)
+        for i in range(r):
+            proj = np.float32(dist[i] * (pd[0] * dirs[i, 0] + pd[1] * dirs[i, 1]))
+            with np.errstate(divide="ignore", over="ignore"):
+                height_line = np.float32(num / np.float32(denom_c * proj))
+            if np.isfinite(height_line):
+                h_pu = int(math.floor(min(float(height_line), float(hpu))))
+            else:
+                h_pu = hpu
+            if self.wall_map[hit_tu[i, 0], hit_tu[i, 1]]:
+                color = colors.WALL_DIM_I if hit_dim[i] == 0 else colors.WALL_DIM_J
+            else:
+                color = colors.GOAL_DIM_I if hit_dim[i] == 0 else colors.GOAL_DIM_J
+            k = r - 1 - i  # mirrored column (ref :431)
+            if h_pu >= hpu - 1:
+                img[:, k] = color
+            else:
+                pad = (hpu - h_pu) // 2
+                img[:pad, k] = colors.CEILING
+                img[pad : hpu - pad, k] = color
+                img[hpu - pad :, k] = colors.FLOOR
+        return img
+
+    def tile_grid(self) -> np.ndarray:
+        grid = self.wall_map.astype(np.int32)
+        grid[self.goal_tu] = 2
+        return grid
+
+    def observe(self) -> np.ndarray:
+        cfg = self.cfg
+        if cfg.obs_type == "camera_u32":
+            return self.camera_view()
+        if cfg.obs_type == "tile_grid":
+            return self.tile_grid()
+        raise NotImplementedError(cfg.obs_type)

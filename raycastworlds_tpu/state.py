@@ -1,0 +1,72 @@
+"""Environment state as an immutable pytree.
+
+The reference keeps a single mutable struct stepped in place
+(``SingleRoomWorld``, /root/reference/src/single_room.jl:21-40).  TPU-native
+re-conception: an immutable struct-of-arrays pytree with *no* ray buffers —
+ray results are recomputed functionally each step and fused into the render by
+XLA, never stored as state.  Add a leading batch axis with ``vmap``; shard the
+batch axis over a device mesh with ``NamedSharding``.
+
+A per-env PRNG key replaces the reference's single shared ``rng``
+(/root/reference/src/single_room.jl:33,49), which is what makes trajectories
+reproducible per-env and independent of batch size / sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class EnvState:
+    """Per-env state; all fields unbatched here, batched via vmap.
+
+    Reference field mapping (/root/reference/src/single_room.jl:21-40):
+      wall_map  <- tile_map[WALL]       bool[H, W]
+      goal_tu   <- goal_position        int32[2]   (0-indexed tile)
+      pos_wu    <- player_position_wu   float32[2]
+      dir_au    <- player_direction_au  int32      in [0, num_directions)
+      reward    <- reward               float32
+      done      <- done                 bool
+      rng_key   <- rng (per-env key here, not a shared global RNG)
+    Extra (for metrics / auto-reset; no reference equivalent):
+      t               int32    steps taken in the current episode
+      episode_return  float32  accumulated reward this episode
+    """
+
+    wall_map: jax.Array
+    goal_tu: jax.Array
+    pos_wu: jax.Array
+    dir_au: jax.Array
+    reward: jax.Array
+    done: jax.Array
+    rng_key: jax.Array
+    t: jax.Array
+    episode_return: jax.Array
+
+    @property
+    def batch_shape(self):
+        return self.dir_au.shape
+
+
+def tile_map(state: EnvState) -> jax.Array:
+    """Rebuild the reference's [2, H, W] bool tile map (wall, goal channels)."""
+    h, w = state.wall_map.shape[-2:]
+    gi, gj = state.goal_tu[..., 0], state.goal_tu[..., 1]
+    ii = jnp.arange(h)[:, None]
+    jj = jnp.arange(w)[None, :]
+    goal_map = (ii == gi[..., None, None]) & (jj == gj[..., None, None])
+    return jnp.stack([state.wall_map, goal_map], axis=-3)
+
+
+def metrics(state: EnvState) -> Dict[str, Any]:
+    return {
+        "reward": state.reward,
+        "done": state.done,
+        "t": state.t,
+        "episode_return": state.episode_return,
+    }
