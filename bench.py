@@ -1,0 +1,90 @@
+"""Throughput benchmark: batched SingleRoom env-steps/s with camera-view obs.
+
+Workload = BASELINE.json config 2: 1024 envs, 64 rays x 64 px uint32 camera
+observations, auto-reset, whole rollout inside one jitted lax.scan with
+observations consumed on device (reduced to a checksum, never copied to
+host).  The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
+is measured against the BASELINE.json north-star target of 10M env-steps/s
+aggregate.
+
+Prints ONE JSON line:
+  {"metric": "env_steps_per_sec", "value": N, "unit": "steps/s",
+   "vs_baseline": N / 1e7, ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--num-envs", type=int, default=1024)
+    p.add_argument("--num-rays", type=int, default=64)
+    p.add_argument("--height-px", type=int, default=64)
+    p.add_argument("--steps", type=int, default=256, help="scan length per program run")
+    p.add_argument("--reps", type=int, default=4, help="timed program executions")
+    p.add_argument("--obs", type=str, default="camera_u32")
+    p.add_argument("--backend", type=str, default="", help="override jax_platforms")
+    args = p.parse_args()
+
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
+
+    import raycastworlds_tpu as rcw
+    from raycastworlds_tpu.parallel.rollout import steps_per_second_program
+
+    cfg = rcw.EnvConfig(
+        num_rays=args.num_rays,
+        height_camera_view_pu=args.height_px,
+        obs_type=args.obs,
+    )
+    env = rcw.Env(rcw.SingleRoom(cfg), num_envs=args.num_envs, jit=False)
+
+    state, _ = jax.jit(env._reset_impl)(jax.random.PRNGKey(0))
+    run = jax.jit(steps_per_second_program(env, args.steps), donate_argnums=(0,))
+
+    # warmup / compile
+    key = jax.random.PRNGKey(1)
+    state, acc = run(state, key)
+    jax.block_until_ready(acc)
+
+    best = 0.0
+    times = []
+    for r in range(args.reps):
+        key = jax.random.fold_in(key, r)
+        t0 = time.perf_counter()
+        state, acc = run(state, key)
+        jax.block_until_ready(acc)
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        sps = args.num_envs * args.steps / dt
+        best = max(best, sps)
+
+    result = {
+        "metric": "env_steps_per_sec",
+        "value": round(best, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(best / 1e7, 4),
+        "config": {
+            "num_envs": args.num_envs,
+            "num_rays": args.num_rays,
+            "height_px": args.height_px,
+            "obs": args.obs,
+            "scan_steps": args.steps,
+            "device": str(jax.devices()[0]),
+            "raycast_backend": cfg.raycast_backend,
+        },
+        "times_s": [round(t, 4) for t in times],
+        "checksum": float(acc),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,8 @@ class EnvConfig:
     #   "camera_gray": [H_pu, num_rays] float32 in [0, 1]
     #   "depth"      : [num_rays] float32 projected (fisheye-corrected) depth
     #   "tile_grid"  : [H, W] int32 object grid (0 empty / 1 wall / 2 goal)
+    #   "top_u32"    : [H*ppt, W*ppt] uint32 top view (debug; heavier)
+    #   "top_rgb"    : [H*ppt, W*ppt, 3] uint8 top view
     obs_type: str = "camera_u32"
     # Raycast backend: "scan" (lax.scan DDA), "pallas" (fused TPU kernel),
     # or "auto" (pallas on TPU when supported, else scan).
@@ -90,6 +92,7 @@ class EnvConfig:
             raise ValueError("num_directions must be >= 1")
         if self.obs_type not in (
             "camera_u32", "camera_rgb", "camera_gray", "depth", "tile_grid",
+            "top_u32", "top_rgb",
         ):
             raise ValueError(f"unknown obs_type: {self.obs_type}")
         if self.raycast_backend not in ("scan", "pallas", "auto"):
@@ -125,6 +128,10 @@ class EnvConfig:
             return (self.num_rays,)
         if self.obs_type == "tile_grid":
             return (self.height_tile_map_tu, self.width_tile_map_tu)
+        if self.obs_type == "top_u32":
+            return self.top_view_shape
+        if self.obs_type == "top_rgb":
+            return self.top_view_shape + (3,)
         raise AssertionError(self.obs_type)
 
     @property
@@ -149,6 +156,12 @@ class EnvConfig:
         return np.stack(
             [np.cos(theta), np.sin(theta)], axis=-1
         ).astype(np.float32)
+
+    @property
+    def player_radius_pu(self) -> int:
+        """Player radius in pixels for the top view (ref wu_to_pu of the
+        radius, /root/reference/src/single_room.jl:470; 0-indexed floor)."""
+        return int(math.floor(self.player_radius_wu * self.pu_per_tu))
 
     @functools.cached_property
     def ray_fan_lut(self) -> np.ndarray:

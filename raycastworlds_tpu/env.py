@@ -97,6 +97,8 @@ class Env:
             "camera_gray": jnp.float32,
             "depth": jnp.float32,
             "tile_grid": jnp.int32,
+            "top_u32": jnp.uint32,
+            "top_rgb": jnp.uint8,
         }
         return Space(shape=cfg.obs_shape, dtype=dtypes[cfg.obs_type])
 
@@ -136,3 +138,12 @@ class Env:
         return jax.random.randint(
             key, (self.num_envs,), 0, self.game.num_actions, dtype=jnp.int32
         )
+
+    def top_view(self, state: EnvState) -> jax.Array:
+        """Batched uint32 top views (debug rendering; reference
+        ``update_top_view!``)."""
+        return jax.jit(jax.vmap(self.game.top_view_single))(state)
+
+    def camera_view(self, state: EnvState) -> jax.Array:
+        """Batched uint32 camera views regardless of obs_type."""
+        return jax.jit(jax.vmap(self.game.camera_view_single))(state)

@@ -19,7 +19,7 @@ from ..config import (
     TURN_LEFT,
     TURN_RIGHT,
 )
-from ..ops import collision, raycast, render
+from ..ops import bitmap, collision, raycast, render
 from ..state import EnvState
 
 
@@ -64,8 +64,9 @@ class Game:
         hit_goal = moving & collision.is_colliding_with_goal(
             cand, state.goal_tu, r
         )
-        hit_wall = moving & collision.is_player_colliding(
-            state.wall_map, cand, r
+        wall_words = bitmap.pack_bits(state.wall_map)
+        hit_wall = moving & collision.is_player_colliding_packed(
+            wall_words, (cfg.H, cfg.W), cand, r
         )
 
         reward = jnp.where(
@@ -90,25 +91,68 @@ class Game:
             episode_return=state.episode_return + reward,
         )
 
+    def _packed_maps(self, state: EnvState):
+        """(wall_words, obstacle_words): the obstacle map is the union of all
+        object channels (ref :209) — walls plus the goal bit, OR-ed in
+        arithmetically (no scatter)."""
+        cfg = self.cfg
+        wall_words = bitmap.pack_bits(state.wall_map)
+        gidx = state.goal_tu[0] * cfg.W + state.goal_tu[1]
+        nw = wall_words.shape[-1]
+        goal_vec = jnp.where(
+            jnp.arange(nw, dtype=jnp.int32) == (gidx >> 5),
+            jnp.uint32(1) << (gidx & 31).astype(jnp.uint32),
+            jnp.uint32(0),
+        )
+        return wall_words, wall_words | goal_vec
+
     def cast_single(self, state: EnvState) -> raycast.RayHits:
-        """Ray-cast the current pose (``cast_rays!``, ref :195-231).  The
-        obstacle map is the union of object channels (ref :209) — walls plus
-        one scattered goal bit."""
-        obstacle = state.wall_map.at[
-            state.goal_tu[0], state.goal_tu[1]
-        ].set(True)
+        """Ray-cast the current pose (``cast_rays!``, ref :195-231)."""
+        _, obstacle_words = self._packed_maps(state)
         return raycast.cast_rays(
-            self.cfg, obstacle, state.pos_wu, state.dir_au
+            self.cfg, obstacle_words, state.pos_wu, state.dir_au
         )
 
     def observe_single(self, state: EnvState) -> jax.Array:
         cfg = self.cfg
-        hits = self.cast_single(state)
+        if cfg.obs_type in ("top_u32", "top_rgb"):
+            img = self.top_view_single(state)
+            return render.u32_to_rgb(img) if cfg.obs_type == "top_rgb" else img
+        wall_words, obstacle_words = self._packed_maps(state)
+        hits = raycast.cast_rays(
+            cfg, obstacle_words, state.pos_wu, state.dir_au
+        )
         lut = jnp.asarray(cfg.directions_wu, state.pos_wu.dtype)
         player_dir = lut[state.dir_au]
         return render.render_observation(
-            cfg, state.wall_map, state.goal_tu, player_dir, hits
+            cfg, state.wall_map, wall_words, state.goal_tu, player_dir, hits
         )
+
+    def top_view_single(self, state: EnvState) -> jax.Array:
+        """uint32 top view (ref ``update_top_view!``, single_room.jl:446-483)."""
+        from ..ops import topview
+
+        cfg = self.cfg
+        hits = self.cast_single(state)
+        return topview.render_top_view(
+            cfg,
+            state.wall_map,
+            state.goal_tu,
+            state.pos_wu,
+            cfg.player_radius_pu,
+            hits,
+        )
+
+    def camera_view_single(self, state: EnvState) -> jax.Array:
+        """uint32 camera view regardless of obs_type (ref
+        ``update_camera_view!``, single_room.jl:374-444)."""
+        cfg = self.cfg
+        wall_words, obstacle_words = self._packed_maps(state)
+        hits = raycast.cast_rays(
+            cfg, obstacle_words, state.pos_wu, state.dir_au
+        )
+        lut = jnp.asarray(cfg.directions_wu, state.pos_wu.dtype)
+        return render.render_camera_u32(cfg, wall_words, lut[state.dir_au], hits)
 
     # -- conveniences ---------------------------------------------------
 

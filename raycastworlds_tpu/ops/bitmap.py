@@ -1,0 +1,60 @@
+"""Bit-packed boolean grids for gather-free occupancy lookups.
+
+TPU has no fast hardware gather: a dynamic ``map[idx]`` per DDA iteration
+lowers to a slow serialized gather.  Tile maps are tiny (H*W <= a few hundred
+bits), so the whole obstacle map packs into a handful of uint32 lanes that
+live in vector registers.  A lookup is then a short select-chain over the
+words plus a per-lane variable shift — pure VPU work that XLA fuses straight
+into the DDA loop.  This replaces the reference's ``obstacle_map[i, j]``
+inner-loop load (RayCaster DDA contract, /root/reference/src/single_room.jl:223).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def n_words(num_bits: int) -> int:
+    return (num_bits + 31) // 32
+
+
+def pack_bits(bool_map: jax.Array) -> jax.Array:
+    """Pack a bool[..., H, W] map into uint32[..., ceil(H*W/32)] words.
+
+    Bit ``k = i*W + j`` of the flattened map lands in word ``k // 32`` at bit
+    position ``k % 32``.
+    """
+    h, w = bool_map.shape[-2:]
+    nb = h * w
+    nw = n_words(nb)
+    flat = bool_map.reshape(bool_map.shape[:-2] + (nb,)).astype(jnp.uint32)
+    pad = nw * 32 - nb
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros(bool_map.shape[:-2] + (pad,), jnp.uint32)],
+            axis=-1,
+        )
+    flat = flat.reshape(bool_map.shape[:-2] + (nw, 32))
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    return jnp.sum(flat * weights, axis=-1).astype(jnp.uint32)
+
+
+def lookup_bit(words: jax.Array, idx: jax.Array) -> jax.Array:
+    """Test bit ``idx`` of packed words.
+
+    words: uint32[n_words] (unbatched; vmap for batches).
+    idx:   int32[...] flattened bit indices (must be in range).
+    Returns bool[...].
+    """
+    nw = words.shape[-1]
+    word_idx = (idx >> 5).astype(jnp.int32)
+    bit_idx = (idx & 31).astype(jnp.uint32)
+    if nw == 1:
+        w = words[0]
+    else:
+        # select-chain over the words: nw multiply-adds on the VPU,
+        # no gather.
+        sel = word_idx[..., None] == jnp.arange(nw, dtype=jnp.int32)
+        w = jnp.sum(jnp.where(sel, words, jnp.uint32(0)), axis=-1)
+    return ((w >> bit_idx) & jnp.uint32(1)).astype(jnp.bool_)

@@ -55,6 +55,26 @@ def is_player_colliding(
     return jnp.any(occupied & hit)
 
 
+def is_player_colliding_packed(
+    obstacle_words: jax.Array,
+    shape,
+    pos_wu: jax.Array,
+    radius,
+) -> jax.Array:
+    """Gather-free variant of :func:`is_player_colliding` over a bit-packed
+    map (ops/bitmap.py) — the hot-path version used by the jitted step."""
+    from . import bitmap
+
+    h, w = shape
+    tile = wu_to_tu(pos_wu)  # i32[2]
+    neigh = tile[None, :] + jnp.asarray(_OFFS, jnp.int32)  # [9, 2]
+    ni = jnp.clip(neigh[:, 0], 0, h - 1)
+    nj = jnp.clip(neigh[:, 1], 0, w - 1)
+    occupied = bitmap.lookup_bit(obstacle_words, ni * w + nj)  # bool[9]
+    hit = is_colliding_tile(pos_wu[None, :], neigh, radius)  # bool[9]
+    return jnp.any(occupied & hit)
+
+
 def is_colliding_with_goal(
     pos_wu: jax.Array, goal_tu: jax.Array, radius
 ) -> jax.Array:

@@ -8,11 +8,16 @@ ray to the hit face), and generates the ray fan by *linear interpolation
 across the camera plane* (not angular) at
 /root/reference/src/single_room.jl:213-221.
 
-TPU-native re-conception: all rays of an env march in lockstep as [R]-shaped
-vectors under a fixed trip count (map diameter H+W suffices for maps with
-solid border walls), with a hit mask freezing finished rays — no
-data-dependent control flow, fully vmappable and XLA-fusable.  A Pallas
-kernel with the same contract lives in raycast_pallas.py.
+TPU-native re-conception:
+* all rays of an env march in lockstep as [R]-shaped vectors under a fixed
+  trip count (map diameter H+W suffices for maps with solid border walls),
+  with a hit mask freezing finished rays — no data-dependent control flow,
+  fully vmappable and XLA-fusable;
+* the per-iteration occupancy test reads a *bit-packed* obstacle map held in
+  vector registers (ops/bitmap.py) instead of doing a hardware gather —
+  gathers are the serialized slow path on TPU;
+* the ray fan is a precomputed per-heading LUT (EnvConfig.ray_fan_lut).
+A fused Pallas kernel with the same contract lives in raycast_pallas.py.
 """
 
 from __future__ import annotations
@@ -23,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import EnvConfig
+from . import bitmap
 
 
 class RayHits(NamedTuple):
@@ -38,10 +44,10 @@ class RayHits(NamedTuple):
 def ray_fan(cfg: EnvConfig, player_dir_wu: jax.Array) -> jax.Array:
     """Normalized ray directions for one env: f32[num_rays, 2].
 
-    Camera-plane model (ref :214-221): ``camera_dir = rotate_minus_90(dir)``,
+    Reference geometry (ref :214-221): ``camera_dir = rotate_minus_90(dir)``,
     rays lerp linearly from ``dir + sfov*cam`` to ``dir - sfov*cam`` then
-    normalize.  Division by the sqrt-norm (not rsqrt) keeps results
-    bit-reproducible across CPU/TPU backends.
+    normalize.  Production code uses the precomputed ``cfg.ray_fan_lut``;
+    this function is the live formula, kept for tests/continuous headings.
     """
     d = player_dir_wu
     cam = jnp.stack([d[1], -d[0]])  # rotate_minus_90, ref :193
@@ -56,7 +62,8 @@ def ray_fan(cfg: EnvConfig, player_dir_wu: jax.Array) -> jax.Array:
 
 
 def cast_rays_scan(
-    obstacle_map: jax.Array,
+    obstacle_words: jax.Array,
+    shape: Tuple[int, int],
     pos_wu: jax.Array,
     ray_dirs: jax.Array,
     max_steps: int,
@@ -64,8 +71,9 @@ def cast_rays_scan(
     """Branch-free DDA for all rays of one env (vmap over envs).
 
     Args:
-      obstacle_map: bool[H, W] — union of all object channels
-        (ref :209 ``any(tile_map, dims=1)``).
+      obstacle_words: uint32[ceil(H*W/32)] bit-packed obstacle map — union of
+        all object channels (ref :209 ``any(tile_map, dims=1)``).
+      shape: static (H, W).
       pos_wu: f32[2] ray origin.
       ray_dirs: f32[R, 2] normalized directions.
       max_steps: static trip count (>= map diameter for guaranteed hit).
@@ -78,9 +86,8 @@ def cast_rays_scan(
     iteration steps the axis with the smaller ``side``; the crossing distance
     is that pre-increment ``side``.  Rays that have hit are frozen by a mask.
     """
-    h, w = obstacle_map.shape
+    h, w = shape
     dtype = ray_dirs.dtype
-    obstacle_flat = obstacle_map.reshape(-1)
 
     dx = ray_dirs[:, 0]
     dy = ray_dirs[:, 1]
@@ -129,11 +136,11 @@ def cast_rays_scan(
         nmap_j = s.map_j + jnp.where(adv & ~take_i, step_j, 0)
         nside_i = s.side_i + jnp.where(adv & take_i, delta_i, 0.0)
         nside_j = s.side_j + jnp.where(adv & ~take_i, delta_j, 0.0)
-        # Occupancy lookup at the (possibly) advanced tile.  Clip keeps the
-        # gather in-bounds; with solid border walls clipping is never reached
-        # before a hit.
+        # Occupancy test from the packed map — register-resident, no gather.
+        # Clip keeps the bit index in-bounds; with solid border walls the
+        # clip is never reached before a hit.
         idx = jnp.clip(nmap_i, 0, h - 1) * w + jnp.clip(nmap_j, 0, w - 1)
-        occ = obstacle_flat[idx]
+        occ = bitmap.lookup_bit(obstacle_words, idx)
         newly = adv & occ
         return _S(
             map_i=nmap_i,
@@ -152,18 +159,14 @@ def cast_rays_scan(
 
 def cast_rays(
     cfg: EnvConfig,
-    obstacle_map: jax.Array,
+    obstacle_words: jax.Array,
     pos_wu: jax.Array,
     dir_au: jax.Array,
 ) -> RayHits:
-    """Full cast for one env (ref ``cast_rays!``, single_room.jl:195-231).
-
-    The ray fan is a precomputed per-heading LUT (see
-    ``EnvConfig.ray_fan_lut``) — one dynamic-slice instead of recomputing
-    trig + normalize every step, and bit-identical on every backend.
-    """
+    """Full cast for one env (ref ``cast_rays!``, single_room.jl:195-231):
+    LUT fan lookup + packed DDA march."""
     dirs = jnp.asarray(cfg.ray_fan_lut)[dir_au]  # [R, 2]
     hit_tu, hit_dim, dist = cast_rays_scan(
-        obstacle_map, pos_wu, dirs, cfg.dda_steps
+        obstacle_words, (cfg.H, cfg.W), pos_wu, dirs, cfg.dda_steps
     )
     return RayHits(ray_dirs=dirs, hit_tu=hit_tu, hit_dim=hit_dim, dist_wu=dist)

@@ -28,17 +28,21 @@ def projected_depth(player_dir_wu: jax.Array, hits: RayHits) -> jax.Array:
 
 
 def column_colors_u32(
-    wall_map: jax.Array, hits: RayHits
+    wall_words: jax.Array, shape, hits: RayHits
 ) -> jax.Array:
-    """Per-ray wall-slab color, uint32[R].
+    """Per-ray wall-slab color, uint32[R], from a bit-packed wall map.
 
     Ref :417-429: if the hit tile has the WALL bit -> wall shades, else goal
     shades; shade picked by hit-face axis (two shades fake lighting).
     """
+    from . import bitmap
+
     hi = hits.hit_tu[:, 0]
     hj = hits.hit_tu[:, 1]
-    h, w = wall_map.shape
-    is_wall = wall_map[jnp.clip(hi, 0, h - 1), jnp.clip(hj, 0, w - 1)]
+    h, w = shape
+    is_wall = bitmap.lookup_bit(
+        wall_words, jnp.clip(hi, 0, h - 1) * w + jnp.clip(hj, 0, w - 1)
+    )
     dim_i = hits.hit_dim == 0
     wall_c = jnp.where(
         dim_i,
@@ -55,7 +59,7 @@ def column_colors_u32(
 
 def render_camera_u32(
     cfg: EnvConfig,
-    wall_map: jax.Array,
+    wall_words: jax.Array,
     player_dir_wu: jax.Array,
     hits: RayHits,
 ) -> jax.Array:
@@ -90,7 +94,7 @@ def render_camera_u32(
     full = h_pu >= hpu - 1
     pad = jnp.where(full, 0, (hpu - h_pu) // 2)  # i32[R]
 
-    slab = column_colors_u32(wall_map, hits)  # u32[R]
+    slab = column_colors_u32(wall_words, (cfg.H, cfg.W), hits)  # u32[R]
     row = jnp.arange(hpu, dtype=jnp.int32)[:, None]  # [H_pu, 1]
     img = jnp.where(
         row < pad[None, :],
@@ -127,6 +131,7 @@ def u32_to_gray(img: jax.Array) -> jax.Array:
 def render_observation(
     cfg: EnvConfig,
     wall_map: jax.Array,
+    wall_words: jax.Array,
     goal_tu: jax.Array,
     player_dir_wu: jax.Array,
     hits: RayHits,
@@ -139,7 +144,7 @@ def render_observation(
         h, w = wall_map.shape
         grid = wall_map.astype(jnp.int32)
         return grid.at[goal_tu[0], goal_tu[1]].set(2)
-    img = render_camera_u32(cfg, wall_map, player_dir_wu, hits)
+    img = render_camera_u32(cfg, wall_words, player_dir_wu, hits)
     if cfg.obs_type == "camera_u32":
         return img
     if cfg.obs_type == "camera_rgb":

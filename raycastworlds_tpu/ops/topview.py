@@ -1,0 +1,139 @@
+"""Top-view (bird's-eye) renderer — the debug/visualization view.
+
+Reference: ``draw_tile_map!`` + ``update_top_view!``
+(/root/reference/src/single_room.jl:342-372,446-483): tile grid as filled
+rectangles with 1-px grid lines, 512 ray segments from the player to each hit
+point, and the player circle, drawn with SimpleDraw shapes.
+
+TPU-native: the tile blit and grid lines are pure broadcasting; the ray
+segments are Bresenham marches vectorized across all rays under one
+``lax.scan`` whose points scatter into the image; the player circle is a
+distance-band mask.  Pixel-level algorithms (Bresenham, circle) are specified
+here and mirrored exactly in the NumPy oracle — SimpleDraw's private
+rasterization rules are not reproduced bit-for-bit (API parity, not pixel
+parity, for this debug surface; the *layout* — geometry, colors, draw order —
+matches the reference).
+
+This stays off the RL hot path by default (camera view is the observation,
+ref :576); it is available as an obs_type for parity/debug workloads.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import colors
+from ..config import EnvConfig, WALL, GOAL
+from .raycast import RayHits
+from .units import wu_to_pu
+
+
+def bresenham_points(
+    p0: jax.Array, p1: jax.Array, max_len: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Integer Bresenham line points for a batch of segments.
+
+    p0, p1: i32[..., 2] endpoints (inclusive).
+    Returns (points i32[max_len, ..., 2], valid bool[max_len, ...]).
+    Standard integer Bresenham; points beyond the segment end are invalid.
+    """
+    x0, y0 = p0[..., 0], p0[..., 1]
+    x1, y1 = p1[..., 0], p1[..., 1]
+    dx = jnp.abs(x1 - x0)
+    dy = -jnp.abs(y1 - y0)
+    sx = jnp.where(x0 < x1, 1, -1)
+    sy = jnp.where(y0 < y1, 1, -1)
+
+    def body(carry, _):
+        x, y, err, alive = carry
+        pt = jnp.stack([x, y], axis=-1)
+        at_end = (x == x1) & (y == y1)
+        e2 = 2 * err
+        step_x = (e2 >= dy) & alive & ~at_end
+        step_y = (e2 <= dx) & alive & ~at_end
+        err = err + jnp.where(step_x, dy, 0) + jnp.where(step_y, dx, 0)
+        x = x + jnp.where(step_x, sx, 0)
+        y = y + jnp.where(step_y, sy, 0)
+        return (x, y, err, alive & ~at_end), (pt, alive)
+
+    init = (x0, y0, dx + dy, jnp.ones_like(x0, bool))
+    _, (pts, valid) = jax.lax.scan(body, init, None, length=max_len)
+    return pts, valid
+
+
+def render_tile_blit(cfg: EnvConfig, wall_map: jax.Array, goal_tu: jax.Array) -> jax.Array:
+    """Tile rectangles + grid lines (ref draw_tile_map!, :342-372):
+    wall=white, goal=red, empty=black (tile_map_colors, :288), 1-px
+    0xCCCCCC border around every tile (:364-367)."""
+    ppt = cfg.pu_per_tu
+    h, w = cfg.H, cfg.W
+    ii = jnp.arange(h)[:, None]
+    jj = jnp.arange(w)[None, :]
+    goal_map = (ii == goal_tu[0]) & (jj == goal_tu[1])
+    tile_color = jnp.where(
+        wall_map,
+        jnp.uint32(colors.TILE_WALL),
+        jnp.where(goal_map, jnp.uint32(colors.TILE_GOAL), jnp.uint32(colors.TILE_EMPTY)),
+    )
+    img = jnp.repeat(jnp.repeat(tile_color, ppt, axis=0), ppt, axis=1)
+    pi = jnp.arange(h * ppt) % ppt
+    pj = jnp.arange(w * ppt) % ppt
+    line = (pi[:, None] == 0) | (pi[:, None] == ppt - 1) \
+        | (pj[None, :] == 0) | (pj[None, :] == ppt - 1)
+    return jnp.where(line, jnp.uint32(colors.GRID_LINE), img)
+
+
+def render_top_view(
+    cfg: EnvConfig,
+    wall_map: jax.Array,
+    goal_tu: jax.Array,
+    pos_wu: jax.Array,
+    player_radius_pu_hint: int,
+    hits: RayHits,
+) -> jax.Array:
+    """uint32[H*ppt, W*ppt] top view for one env (ref :446-483).
+
+    Draw order matches the reference: tile map, then ray segments, then the
+    player circle on top.
+    """
+    ppt = cfg.pu_per_tu
+    hpu, wpu = cfg.top_view_shape
+    img = render_tile_blit(cfg, wall_map, goal_tu)
+
+    # --- ray segments (ref :474-478) ---
+    p_px = wu_to_pu(pos_wu, ppt)  # i32[2]
+    # The barrier pins two-rounding semantics (mul, then add): XLA would
+    # otherwise fuse this into an FMA whose low bits differ from the scalar
+    # oracle, flipping the floor() pixel when a hit lands on a gridline.
+    prod = jax.lax.optimization_barrier(hits.dist_wu[:, None] * hits.ray_dirs)
+    stop_wu = pos_wu[None, :] + prod  # [R, 2]
+    stop_px = wu_to_pu(stop_wu, ppt)  # i32[R, 2]
+    r = hits.ray_dirs.shape[0]
+    p0 = jnp.broadcast_to(p_px[None, :], (r, 2))
+    pts, valid = bresenham_points(p0, stop_px, max_len=hpu + wpu)  # [L, R, 2]
+    flat_idx = pts[..., 0] * wpu + pts[..., 1]
+    inb = (
+        valid
+        & (pts[..., 0] >= 0) & (pts[..., 0] < hpu)
+        & (pts[..., 1] >= 0) & (pts[..., 1] < wpu)
+    )
+    # Out-of-range sentinel (NOT -1: negative indices wrap, they don't drop).
+    flat_idx = jnp.where(inb, flat_idx, hpu * wpu)
+    img = (
+        img.reshape(-1)
+        .at[flat_idx.reshape(-1)]
+        .set(jnp.uint32(colors.RAY), mode="drop")
+        .reshape(hpu, wpu)
+    )
+
+    # --- player circle outline (ref :480): center = player pixel, radius in
+    # pixels; band where rounded distance equals the radius ---
+    rad = player_radius_pu_hint
+    di = jnp.arange(hpu)[:, None] - p_px[0]
+    dj = jnp.arange(wpu)[None, :] - p_px[1]
+    dist = jnp.sqrt((di * di + dj * dj).astype(jnp.float32))
+    on_circle = jnp.round(dist).astype(jnp.int32) == rad
+    return jnp.where(on_circle, jnp.uint32(colors.PLAYER), img)

@@ -246,6 +246,71 @@ class OracleSingleRoom:
                 img[hpu - pad :, k] = colors.FLOOR
         return img
 
+    # -- top view (ref single_room.jl:342-372,446-483; pixel algorithms per
+    # ops/topview.py spec) ------------------------------------------------
+
+    def top_view(self) -> np.ndarray:
+        cfg = self.cfg
+        ppt = cfg.pu_per_tu
+        hpu, wpu = cfg.top_view_shape
+        img = np.zeros((hpu, wpu), np.uint32)
+        # tile blit + grid lines
+        for i in range(cfg.H):
+            for j in range(cfg.W):
+                if self.wall_map[i, j]:
+                    c = colors.TILE_WALL
+                elif (i, j) == self.goal_tu:
+                    c = colors.TILE_GOAL
+                else:
+                    c = colors.TILE_EMPTY
+                img[i * ppt : (i + 1) * ppt, j * ppt : (j + 1) * ppt] = c
+                img[i * ppt, j * ppt : (j + 1) * ppt] = colors.GRID_LINE
+                img[(i + 1) * ppt - 1, j * ppt : (j + 1) * ppt] = colors.GRID_LINE
+                img[i * ppt : (i + 1) * ppt, j * ppt] = colors.GRID_LINE
+                img[i * ppt : (i + 1) * ppt, (j + 1) * ppt - 1] = colors.GRID_LINE
+        # ray segments (Bresenham)
+        dirs, hit_tu, hit_dim, dist = self.cast_rays()
+        p0 = (
+            wu_to_pu(self.pos_wu[0], ppt),
+            wu_to_pu(self.pos_wu[1], ppt),
+        )
+        for r in range(cfg.num_rays):
+            sx = np.float32(self.pos_wu[0] + np.float32(dist[r] * dirs[r, 0]))
+            sy = np.float32(self.pos_wu[1] + np.float32(dist[r] * dirs[r, 1]))
+            p1 = (wu_to_pu(sx, ppt), wu_to_pu(sy, ppt))
+            for (x, y) in self._bresenham(p0, p1):
+                if 0 <= x < hpu and 0 <= y < wpu:
+                    img[x, y] = colors.RAY
+        # player circle: rounded-distance band
+        rad = cfg.player_radius_pu
+        for x in range(hpu):
+            for y in range(wpu):
+                d = math.sqrt((x - p0[0]) ** 2 + (y - p0[1]) ** 2)
+                if int(round(d)) == rad:
+                    img[x, y] = colors.PLAYER
+        return img
+
+    @staticmethod
+    def _bresenham(p0, p1):
+        x0, y0 = p0
+        x1, y1 = p1
+        dx = abs(x1 - x0)
+        dy = -abs(y1 - y0)
+        sx = 1 if x0 < x1 else -1
+        sy = 1 if y0 < y1 else -1
+        err = dx + dy
+        while True:
+            yield (x0, y0)
+            if x0 == x1 and y0 == y1:
+                return
+            e2 = 2 * err
+            if e2 >= dy:
+                err += dy
+                x0 += sx
+            if e2 <= dx:
+                err += dx
+                y0 += sy
+
     def tile_grid(self) -> np.ndarray:
         grid = self.wall_map.astype(np.int32)
         grid[self.goal_tu] = 2

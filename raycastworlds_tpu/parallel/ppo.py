@@ -1,0 +1,352 @@
+"""PPO learner co-located with the env batch — BASELINE config 5.
+
+The reference exposes envs to an external Julia RL stack and stops there
+(/root/reference/src/single_room.jl:570-584).  The TPU-native framework ships
+the other half: an actor-critic learner whose train step (rollout + GAE +
+clipped-PPO update) is ONE jitted SPMD program over the device mesh — envs and
+observations sharded along ``dp`` and never leaving the devices, gradients
+reduced by XLA-inserted psums, the actor-critic's hidden layer optionally
+tensor-parallel along ``mp``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import EnvConfig
+from ..env import Env
+from ..state import EnvState
+from . import mesh as mesh_lib
+from .rollout import Trajectory, rollout_policy
+
+
+# ---------------------------------------------------------------------------
+# Observation preprocessing
+# ---------------------------------------------------------------------------
+
+
+def preprocess_obs(cfg: EnvConfig, obs: jax.Array) -> jax.Array:
+    """Map any obs_type to float32 features with a trailing channel axis
+    (images) or a flat vector (depth / tile_grid)."""
+    if cfg.obs_type == "camera_u32":
+        r = ((obs >> 16) & 0xFF).astype(jnp.float32)
+        g = ((obs >> 8) & 0xFF).astype(jnp.float32)
+        b = (obs & 0xFF).astype(jnp.float32)
+        return jnp.stack([r, g, b], axis=-1) / 255.0
+    if cfg.obs_type == "camera_rgb":
+        return obs.astype(jnp.float32) / 255.0
+    if cfg.obs_type == "camera_gray":
+        return obs[..., None].astype(jnp.float32)
+    if cfg.obs_type == "depth":
+        return obs.astype(jnp.float32)
+    if cfg.obs_type == "tile_grid":
+        return obs.reshape(obs.shape[:-2] + (-1,)).astype(jnp.float32)
+    raise ValueError(cfg.obs_type)
+
+
+# ---------------------------------------------------------------------------
+# Actor-critic network
+# ---------------------------------------------------------------------------
+
+
+class ActorCritic(nn.Module):
+    """Small conv (images) / MLP (vectors) trunk with policy+value heads.
+
+    Convolutions and the dense trunk are where the MXU FLOPs are; compute is
+    kept in float32 by default (bfloat16 via ``dtype``).  The trunk Dense is
+    the tensor-parallel candidate (hidden axis sharded over ``mp``).
+    """
+
+    num_actions: int = 4
+    hidden: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        x = x.astype(self.dtype)
+        if x.ndim >= 4:  # [B, H, W, C] image
+            x = nn.Conv(16, (4, 4), strides=(2, 2), dtype=self.dtype)(x)
+            x = nn.relu(x)
+            x = nn.Conv(32, (4, 4), strides=(2, 2), dtype=self.dtype)(x)
+            x = nn.relu(x)
+            x = x.reshape(x.shape[0], -1)
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="trunk")(x)
+        x = nn.relu(x)
+        logits = nn.Dense(self.num_actions, dtype=self.dtype, name="policy")(x)
+        value = nn.Dense(1, dtype=self.dtype, name="value")(x)
+        return logits.astype(jnp.float32), value.astype(jnp.float32)[..., 0]
+
+
+def param_shardings(params, mesh: Mesh):
+    """Tensor-parallel placement: trunk kernel column-sharded over mp, the
+    consuming heads row-sharded; everything else replicated.  XLA inserts the
+    all-gather/psum at the boundaries."""
+
+    def place(path, x):
+        names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        if x.ndim == 2 and "trunk" in names and "kernel" in names:
+            return NamedSharding(mesh, P(None, mesh_lib.MODEL_AXIS))
+        if x.ndim == 1 and "trunk" in names and "bias" in names:
+            return NamedSharding(mesh, P(mesh_lib.MODEL_AXIS))
+        if x.ndim == 2 and ("policy" in names or "value" in names) and "kernel" in names:
+            return NamedSharding(mesh, P(mesh_lib.MODEL_AXIS, None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+# ---------------------------------------------------------------------------
+# PPO machinery
+# ---------------------------------------------------------------------------
+
+
+class PPOConfig(NamedTuple):
+    rollout_steps: int = 64
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    vf_coef: float = 0.5
+    ent_coef: float = 0.01
+    lr: float = 3e-4
+    max_grad_norm: float = 0.5
+    num_epochs: int = 2
+    num_minibatches: int = 4
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    env_state: EnvState
+    key: jax.Array
+    update_count: jax.Array
+
+
+def compute_gae(
+    reward: jax.Array,      # [T, B]
+    value: jax.Array,       # [T, B]
+    done: jax.Array,        # [T, B]
+    last_value: jax.Array,  # [B]
+    gamma: float,
+    lam: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """Generalized advantage estimation over a time-major rollout.  ``done``
+    marks the transition as terminal (value bootstrap masked)."""
+
+    def body(carry, inp):
+        gae, next_value = carry
+        r, v, d = inp
+        nonterm = 1.0 - d.astype(jnp.float32)
+        delta = r + gamma * next_value * nonterm - v
+        gae = delta + gamma * lam * nonterm * gae
+        return (gae, v), gae
+
+    (_, _), adv = jax.lax.scan(
+        body,
+        (jnp.zeros_like(last_value), last_value),
+        (reward, value, done),
+        reverse=True,
+    )
+    return adv, adv + value
+
+
+def make_policy_fn(net: ActorCritic, cfg: EnvConfig, params):
+    def policy(obs, key):
+        x = preprocess_obs(cfg, obs)
+        logits, value = net.apply(params, x)
+        action = jax.random.categorical(key, logits)
+        log_prob = jax.nn.log_softmax(logits)[
+            jnp.arange(logits.shape[0]), action
+        ]
+        return action.astype(jnp.int32), log_prob, value
+
+    return policy
+
+
+def ppo_loss(
+    net: ActorCritic,
+    env_cfg: EnvConfig,
+    cfg: PPOConfig,
+    params,
+    batch: Dict[str, jax.Array],
+):
+    x = preprocess_obs(env_cfg, batch["obs"])
+    logits, value = net.apply(params, x)
+    log_probs = jax.nn.log_softmax(logits)
+    lp = log_probs[jnp.arange(logits.shape[0]), batch["action"]]
+    ratio = jnp.exp(lp - batch["log_prob"])
+    adv = batch["advantage"]
+    adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+    unclipped = ratio * adv
+    clipped = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
+    policy_loss = -jnp.mean(jnp.minimum(unclipped, clipped))
+    value_loss = 0.5 * jnp.mean((value - batch["target"]) ** 2)
+    entropy = -jnp.mean(
+        jnp.sum(jnp.exp(log_probs) * log_probs, axis=-1)
+    )
+    loss = policy_loss + cfg.vf_coef * value_loss - cfg.ent_coef * entropy
+    return loss, {
+        "loss": loss,
+        "policy_loss": policy_loss,
+        "value_loss": value_loss,
+        "entropy": entropy,
+    }
+
+
+class PPOTrainer:
+    """Owns network/optimizer and builds the single jitted SPMD train step."""
+
+    def __init__(
+        self,
+        env: Env,
+        ppo_cfg: PPOConfig = PPOConfig(),
+        mesh: Optional[Mesh] = None,
+        hidden: int = 256,
+        dtype: Any = jnp.float32,
+    ):
+        self.env = env
+        self.cfg = ppo_cfg
+        self.mesh = mesh
+        self.net = ActorCritic(
+            num_actions=env.game.num_actions, hidden=hidden, dtype=dtype
+        )
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(ppo_cfg.max_grad_norm),
+            optax.adam(ppo_cfg.lr),
+        )
+        self._train_step = jax.jit(self._train_step_impl)
+
+    def init(self, key: jax.Array) -> TrainState:
+        k_env, k_net, k_run = jax.random.split(key, 3)
+        env_state, obs = self.env.reset(k_env)
+        sample = preprocess_obs(self.env.cfg, obs[:1])
+        params = self.net.init(k_net, sample)
+        opt_state = self.tx.init(params)
+        ts = TrainState(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            key=k_run,
+            update_count=jnp.int32(0),
+        )
+        if self.mesh is not None:
+            ts = self.shard(ts)
+        return ts
+
+    def shard(self, ts: TrainState) -> TrainState:
+        mesh = self.mesh
+        p_sh = param_shardings(ts.params, mesh)
+        params = jax.tree_util.tree_map(jax.device_put, ts.params, p_sh)
+        opt_state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x,
+                NamedSharding(mesh, P())
+                if not hasattr(x, "ndim") or x.ndim == 0
+                else NamedSharding(mesh, P()),
+            ),
+            ts.opt_state,
+        )
+        env_state = mesh_lib.shard_env_state(ts.env_state, mesh)
+        return TrainState(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            key=jax.device_put(ts.key, mesh_lib.replicated(mesh)),
+            update_count=jax.device_put(
+                ts.update_count, mesh_lib.replicated(mesh)
+            ),
+        )
+
+    # -- the jitted train step ------------------------------------------
+
+    def _train_step_impl(self, ts: TrainState):
+        env, cfg, net = self.env, self.cfg, self.net
+        key, k_roll, k_perm = jax.random.split(ts.key, 3)
+
+        policy = make_policy_fn(net, env.cfg, ts.params)
+        env_state, traj = rollout_policy(
+            env, policy, ts.env_state, k_roll, cfg.rollout_steps
+        )
+
+        last_obs = jax.vmap(env.game.observe_single)(env_state)
+        _, last_value = net.apply(
+            ts.params, preprocess_obs(env.cfg, last_obs)
+        )
+        adv, target = compute_gae(
+            traj.reward, traj.value, traj.done, last_value,
+            cfg.gamma, cfg.gae_lambda,
+        )
+
+        flat = {
+            "obs": traj.obs.reshape((-1,) + traj.obs.shape[2:]),
+            "action": traj.action.reshape(-1),
+            "log_prob": traj.log_prob.reshape(-1),
+            "advantage": adv.reshape(-1),
+            "target": target.reshape(-1),
+        }
+        n = flat["action"].shape[0]
+        mb = n // cfg.num_minibatches
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, kp = jax.random.split(key)
+            perm = jax.random.permutation(kp, n)
+            shuf = {k: v[perm] for k, v in flat.items()}
+
+            def minibatch(carry, i):
+                params, opt_state = carry
+                batch = {
+                    k: jax.lax.dynamic_slice_in_dim(v, i * mb, mb)
+                    for k, v in shuf.items()
+                }
+                grads, metrics = jax.grad(
+                    lambda p: ppo_loss(net, env.cfg, cfg, p, batch),
+                    has_aux=True,
+                )(params)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            (params, opt_state), metrics = jax.lax.scan(
+                minibatch, (params, opt_state),
+                jnp.arange(cfg.num_minibatches),
+            )
+            return (params, opt_state, key), metrics
+
+        (params, opt_state, _), metrics = jax.lax.scan(
+            epoch, (ts.params, ts.opt_state, k_perm), None,
+            length=cfg.num_epochs,
+        )
+
+        metrics = jax.tree_util.tree_map(jnp.mean, metrics)
+        metrics["reward_per_step"] = jnp.mean(traj.reward)
+        metrics["episodes_finished"] = jnp.sum(traj.done.astype(jnp.int32))
+
+        return TrainState(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            key=key,
+            update_count=ts.update_count + 1,
+        ), metrics
+
+    def train_step(self, ts: TrainState):
+        return self._train_step(ts)
+
+    def train(self, key: jax.Array, num_updates: int, log_every: int = 10):
+        ts = self.init(key)
+        history = []
+        for u in range(num_updates):
+            ts, metrics = self.train_step(ts)
+            if (u + 1) % log_every == 0 or u == num_updates - 1:
+                m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                m["update"] = u + 1
+                history.append(m)
+        return ts, history

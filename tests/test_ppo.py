@@ -1,0 +1,103 @@
+"""PPO learner tests: GAE math, single-device smoke, full SPMD train step on
+the virtual 8-device mesh (dp x mp)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import raycastworlds_tpu as rcw
+from raycastworlds_tpu.parallel import mesh as mesh_lib
+from raycastworlds_tpu.parallel.ppo import (
+    PPOConfig,
+    PPOTrainer,
+    compute_gae,
+    preprocess_obs,
+)
+
+
+def test_gae_hand_computed():
+    # T=3, B=1, no terminations
+    reward = jnp.array([[1.0], [0.0], [2.0]])
+    value = jnp.array([[0.5], [0.25], [1.0]])
+    done = jnp.zeros((3, 1), bool)
+    last_value = jnp.array([2.0])
+    gamma, lam = 0.9, 0.8
+    adv, target = compute_gae(reward, value, done, last_value, gamma, lam)
+    # manual backward recursion
+    d2 = 2.0 + 0.9 * 2.0 - 1.0          # 2.8
+    a2 = d2
+    d1 = 0.0 + 0.9 * 1.0 - 0.25         # 0.65
+    a1 = d1 + 0.9 * 0.8 * a2            # 0.65 + .72*2.8
+    d0 = 1.0 + 0.9 * 0.25 - 0.5         # 0.725
+    a0 = d0 + 0.9 * 0.8 * a1
+    np.testing.assert_allclose(
+        np.asarray(adv)[:, 0], [a0, a1, a2], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(target), np.asarray(adv + value), rtol=1e-6
+    )
+
+
+def test_gae_respects_termination():
+    reward = jnp.array([[1.0], [1.0]])
+    value = jnp.array([[0.0], [0.0]])
+    done = jnp.array([[True], [False]])
+    last_value = jnp.array([5.0])
+    adv, _ = compute_gae(reward, value, done, last_value, 0.9, 0.8)
+    # step0 is terminal: no bootstrap from step1's value or beyond
+    a1 = 1.0 + 0.9 * 5.0
+    a0 = 1.0  # delta only, next value masked
+    np.testing.assert_allclose(np.asarray(adv)[:, 0], [a0, a1], rtol=1e-6)
+
+
+def test_preprocess_shapes():
+    cfg = rcw.EnvConfig(num_rays=16, height_camera_view_pu=16)
+    obs = jnp.zeros((2, 16, 16), jnp.uint32)
+    assert preprocess_obs(cfg, obs).shape == (2, 16, 16, 3)
+    cfg_d = rcw.EnvConfig(num_rays=16, obs_type="depth")
+    assert preprocess_obs(cfg_d, jnp.zeros((2, 16))).shape == (2, 16)
+
+
+def test_train_step_single_device():
+    cfg = rcw.EnvConfig(num_rays=16, height_camera_view_pu=16, obs_type="camera_gray")
+    env = rcw.Env(rcw.SingleRoom(cfg), num_envs=8, jit=False)
+    trainer = PPOTrainer(
+        env,
+        PPOConfig(rollout_steps=8, num_epochs=1, num_minibatches=2),
+        hidden=32,
+    )
+    ts = trainer.init(jax.random.PRNGKey(0))
+    ts2, metrics = trainer.train_step(ts)
+    assert int(ts2.update_count) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # params actually changed
+    leaves0 = jax.tree_util.tree_leaves(ts.params)
+    leaves1 = jax.tree_util.tree_leaves(ts2.params)
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(leaves0, leaves1)
+    )
+
+
+def test_train_step_sharded_dp_mp():
+    """Full SPMD train step over a (dp=4, mp=2) mesh: envs sharded over dp,
+    trunk tensor-parallel over mp."""
+    cfg = rcw.EnvConfig(num_rays=16, height_camera_view_pu=16, obs_type="camera_gray")
+    env = rcw.Env(rcw.SingleRoom(cfg), num_envs=8, jit=False)
+    m = mesh_lib.make_mesh(dp=4, mp=2)
+    trainer = PPOTrainer(
+        env,
+        PPOConfig(rollout_steps=4, num_epochs=1, num_minibatches=2),
+        mesh=m,
+        hidden=64,
+    )
+    ts = trainer.init(jax.random.PRNGKey(0))
+    # trunk kernel is sharded over mp
+    trunk_kernel = ts.params["params"]["trunk"]["kernel"]
+    assert len(trunk_kernel.sharding.device_set) >= 2
+    ts2, metrics = trainer.train_step(ts)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # env state remains dp-sharded after the step
+    assert len(ts2.env_state.pos_wu.sharding.device_set) >= 4

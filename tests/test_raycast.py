@@ -16,8 +16,13 @@ def _room(h=8, w=16):
 
 
 def _cast(obstacle, pos, dirs, steps=24):
+    from raycastworlds_tpu.ops import bitmap
+
+    shape = obstacle.shape
     return jax.jit(
-        lambda o, p, d: raycast.cast_rays_scan(o, p, d, steps)
+        lambda o, p, d: raycast.cast_rays_scan(
+            bitmap.pack_bits(o), shape, p, d, steps
+        )
     )(jnp.asarray(obstacle), jnp.asarray(pos, jnp.float32), jnp.asarray(dirs, jnp.float32))
 
 
