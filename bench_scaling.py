@@ -1,0 +1,101 @@
+"""Scaling-efficiency benchmark: fixed per-device env count, 1 device vs N.
+
+BASELINE target: >= 80% scaling efficiency from 1 host to N hosts.  On a
+multi-host slice, run this once per host under ``jax.distributed`` (see
+raycastworlds_tpu.parallel.mesh.initialize_distributed); on a single machine
+it measures weak scaling over the local devices (or a virtual CPU mesh with
+``--backend cpu`` + XLA_FLAGS=--xla_force_host_platform_device_count=N).
+
+Prints one JSON line: per-device and aggregate steps/s for 1 device and for
+all N, plus the weak-scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+
+
+def measure(env, state, steps, reps=3):
+    from raycastworlds_tpu.parallel.rollout import steps_per_second_program
+
+    run = jax.jit(steps_per_second_program(env, steps))
+    key = jax.random.PRNGKey(1)
+    state, acc = run(state, key)
+    float(acc)  # sync
+    best = float("inf")
+    for r in range(reps):
+        t0 = time.perf_counter()
+        state, acc = run(state, jax.random.fold_in(key, r))
+        float(acc)
+        best = min(best, time.perf_counter() - t0)
+    return env.num_envs * steps / best
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--envs-per-device", type=int, default=4096)
+    p.add_argument("--num-rays", type=int, default=64)
+    p.add_argument("--height-px", type=int, default=64)
+    p.add_argument("--steps", type=int, default=256)
+    p.add_argument("--backend", type=str, default="")
+    args = p.parse_args()
+
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
+
+    import raycastworlds_tpu as rcw
+    from raycastworlds_tpu.parallel import mesh as mesh_lib
+
+    n = len(jax.devices())
+    cfg = rcw.EnvConfig(
+        num_rays=args.num_rays, height_camera_view_pu=args.height_px
+    )
+
+    # 1 device
+    env1 = rcw.Env(
+        rcw.SingleRoom(cfg), num_envs=args.envs_per_device, jit=False
+    )
+    state1, _ = jax.jit(env1._reset_impl)(jax.random.PRNGKey(0))
+    state1 = jax.device_put(state1, jax.devices()[0])
+    sps1 = measure(env1, state1, args.steps)
+
+    result = {
+        "metric": "scaling_efficiency",
+        "devices": n,
+        "steps_per_sec_1dev": round(sps1, 1),
+    }
+
+    if n > 1:
+        envN = rcw.Env(
+            rcw.SingleRoom(cfg), num_envs=args.envs_per_device * n, jit=False
+        )
+        stateN, _ = jax.jit(envN._reset_impl)(jax.random.PRNGKey(0))
+        mesh = mesh_lib.make_mesh()
+        stateN = mesh_lib.shard_env_state(stateN, mesh)
+        spsN = measure(envN, stateN, args.steps)
+        eff = spsN / (sps1 * n)
+        result.update(
+            {
+                "steps_per_sec_Ndev": round(spsN, 1),
+                "value": round(eff, 4),
+                "unit": "weak-scaling efficiency (1.0 = linear)",
+                "vs_baseline": round(eff / 0.8, 4),
+            }
+        )
+    else:
+        result.update(
+            {
+                "value": 1.0,
+                "unit": "single device (no scaling measured)",
+                "vs_baseline": 1.0,
+            }
+        )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

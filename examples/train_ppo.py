@@ -1,0 +1,65 @@
+"""Train a PPO agent on batched raycast worlds — BASELINE config 5 shape.
+
+Single process, any number of local devices:
+    python examples/train_ppo.py --num-envs 1024 --updates 200
+Multi-host: call parallel.mesh.initialize_distributed() per host first.
+"""
+
+import argparse
+import json
+
+import jax
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--game", choices=["single_room", "random_room", "maze"],
+                   default="single_room")
+    p.add_argument("--num-envs", type=int, default=256)
+    p.add_argument("--updates", type=int, default=100)
+    p.add_argument("--rollout-steps", type=int, default=64)
+    p.add_argument("--num-rays", type=int, default=32)
+    p.add_argument("--height-px", type=int, default=32)
+    p.add_argument("--obs", type=str, default="camera_gray")
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh", action="store_true",
+                   help="shard over all local devices (dp)")
+    p.add_argument("--backend", type=str, default="")
+    args = p.parse_args()
+
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
+
+    import raycastworlds_tpu as rcw
+    from raycastworlds_tpu.parallel import mesh as mesh_lib
+    from raycastworlds_tpu.parallel.ppo import PPOConfig, PPOTrainer
+
+    kw = dict(num_rays=args.num_rays, height_camera_view_pu=args.height_px,
+              obs_type=args.obs)
+    if args.game == "single_room":
+        game = rcw.SingleRoom(rcw.EnvConfig(**kw))
+    elif args.game == "random_room":
+        game = rcw.RandomRoom(rcw.RandomRoomConfig(
+            height_tile_map_tu=16, width_tile_map_tu=16, **kw))
+    else:
+        game = rcw.Maze(rcw.MazeConfig(**kw))
+
+    env = rcw.Env(game, num_envs=args.num_envs, jit=False)
+    mesh = mesh_lib.make_mesh() if args.mesh else None
+    trainer = PPOTrainer(
+        env,
+        PPOConfig(rollout_steps=args.rollout_steps, lr=args.lr),
+        mesh=mesh,
+        hidden=args.hidden,
+    )
+    ts, history = trainer.train(
+        jax.random.PRNGKey(args.seed), args.updates, log_every=10
+    )
+    for h in history:
+        print(json.dumps(h))
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,9 @@ from .config import (
 from .env import Env, Space, StepResult
 from .state import EnvState, tile_map
 from .models.single_room import SingleRoom
+from .models.random_room import RandomRoom, RandomRoomConfig
+from .models.maze import Maze, MazeConfig
+from .gym_compat import GymAdapter
 from . import colors
 
 __version__ = "0.1.0"
@@ -37,6 +40,11 @@ __all__ = [
     "Space",
     "StepResult",
     "SingleRoom",
+    "RandomRoom",
+    "RandomRoomConfig",
+    "Maze",
+    "MazeConfig",
+    "GymAdapter",
     "tile_map",
     "colors",
     "NUM_ACTIONS",

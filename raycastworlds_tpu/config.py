@@ -77,9 +77,16 @@ class EnvConfig:
     #   "top_u32"    : [H*ppt, W*ppt] uint32 top view (debug; heavier)
     #   "top_rgb"    : [H*ppt, W*ppt, 3] uint8 top view
     obs_type: str = "camera_u32"
-    # Raycast backend: "scan" (lax.scan DDA), "pallas" (fused TPU kernel),
-    # or "auto" (pallas on TPU when supported, else scan).
+    # Raycast backend:
+    #   "scan"     — lax.scan masked DDA (general maps; bit-exact parity path)
+    #   "analytic" — closed-form border+goal intersection (SingleRoom-shaped
+    #                maps only; fastest; ~1e-6 numerics vs DDA, not bit-exact)
+    #   "pallas"   — fused TPU kernel (same math as scan)
+    #   "auto"     — best supported backend for the game/platform
     raycast_backend: str = "auto"
+    # Unroll factor for the scan DDA (TPU: higher amortizes loop overhead;
+    # CPU tests keep 1 for fast compiles).
+    dda_unroll: int = 1
 
     def __post_init__(self):
         if self.height_tile_map_tu < 3 or self.width_tile_map_tu < 3:
@@ -95,7 +102,7 @@ class EnvConfig:
             "top_u32", "top_rgb",
         ):
             raise ValueError(f"unknown obs_type: {self.obs_type}")
-        if self.raycast_backend not in ("scan", "pallas", "auto"):
+        if self.raycast_backend not in ("scan", "analytic", "pallas", "auto"):
             raise ValueError(f"unknown raycast_backend: {self.raycast_backend}")
 
     # ------------------------------------------------------------------

@@ -107,7 +107,7 @@ class Env:
     def _reset_impl(self, key: jax.Array):
         keys = jax.random.split(key, self.num_envs)
         state = jax.vmap(self.game.reset_single)(keys)
-        obs = jax.vmap(self.game.observe_single)(state)
+        obs = self.game.observe_batch(state)
         return state, obs
 
     def _step_impl(self, state: EnvState, action: jax.Array) -> StepResult:
@@ -123,7 +123,7 @@ class Env:
             nxt = nxt.replace(reward=stepped.reward, done=stepped.done)
         else:
             nxt = stepped
-        obs = jax.vmap(self.game.observe_single)(nxt)
+        obs = self.game.observe_batch(nxt)
         return StepResult(nxt, obs, stepped.reward, stepped.done, info)
 
     # -- public ---------------------------------------------------------

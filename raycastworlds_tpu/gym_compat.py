@@ -1,0 +1,73 @@
+"""Single-env Gymnasium-style adapter.
+
+The reference's RL integration is a thin wrapper exposing
+state/action_space/reward/is_terminated to ReinforcementLearningBase
+(/root/reference/src/rlbase.jl, /root/reference/src/single_room.jl:570-584).
+The batched :class:`raycastworlds_tpu.Env` is the native API; this adapter
+gives the familiar single-env imperative five-tuple interface for drop-in use
+with host-loop RL libraries — no gymnasium dependency required, but the
+method contract matches gymnasium.Env (reset -> (obs, info),
+step -> (obs, reward, terminated, truncated, info), render -> rgb array).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .env import Env
+from .models.base import Game
+
+
+class GymAdapter:
+    """Imperative single-env facade over the batched functional core."""
+
+    metadata = {"render_modes": ["rgb_array"]}
+
+    def __init__(self, game: Game, max_episode_steps: Optional[int] = None):
+        self._env = Env(game, num_envs=1, auto_reset=False)
+        self._state = None
+        self._max_steps = max_episode_steps
+        self.action_space = self._env.action_space
+        self.observation_space = self._env.observation_space
+
+    def reset(
+        self, seed: Optional[int] = None, options: Optional[dict] = None
+    ) -> Tuple[np.ndarray, Dict[str, Any]]:
+        if seed is None:
+            seed = 0 if self._state is None else int(
+                np.asarray(self._state.rng_key)[0]
+            )
+        self._state, obs = self._env.reset(jax.random.PRNGKey(seed))
+        return np.asarray(obs[0]), {}
+
+    def step(self, action: int):
+        if self._state is None:
+            raise RuntimeError("call reset() before step()")
+        res = self._env.step(
+            self._state, jnp.asarray([int(action)], jnp.int32)
+        )
+        self._state = res.state
+        obs = np.asarray(res.obs[0])
+        reward = float(res.reward[0])
+        terminated = bool(res.done[0])
+        truncated = (
+            self._max_steps is not None
+            and int(res.state.t[0]) >= self._max_steps
+            and not terminated
+        )
+        info = {k: np.asarray(v[0]) for k, v in res.info.items()}
+        return obs, reward, terminated, truncated, info
+
+    def render(self) -> np.ndarray:
+        """uint8 RGB frame of the camera view."""
+        from .colors import u32_to_rgb
+
+        img = np.asarray(self._env.camera_view(self._state)[0])
+        return u32_to_rgb(img)
+
+    def close(self) -> None:
+        self._state = None

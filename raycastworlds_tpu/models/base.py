@@ -106,11 +106,38 @@ class Game:
         )
         return wall_words, wall_words | goal_vec
 
+    # Games whose maps are exactly border-ring + goal (SingleRoom) can use
+    # the closed-form raycaster.
+    supports_analytic_raycast: bool = False
+
+    def _use_analytic(self) -> bool:
+        return (
+            self.supports_analytic_raycast
+            and self.cfg.raycast_backend == "analytic"
+        )
+
     def cast_single(self, state: EnvState) -> raycast.RayHits:
         """Ray-cast the current pose (``cast_rays!``, ref :195-231)."""
+        if self._use_analytic():
+            from ..ops import raycast_analytic
+
+            return raycast_analytic.cast_rays_analytic(
+                self.cfg, state.goal_tu, state.pos_wu, state.dir_au
+            )
         _, obstacle_words = self._packed_maps(state)
         return raycast.cast_rays(
             self.cfg, obstacle_words, state.pos_wu, state.dir_au
+        )
+
+    def observe_from_hits_single(
+        self, state: EnvState, hits: raycast.RayHits
+    ) -> jax.Array:
+        cfg = self.cfg
+        wall_words = bitmap.pack_bits(state.wall_map)
+        lut = jnp.asarray(cfg.directions_wu, state.pos_wu.dtype)
+        player_dir = lut[state.dir_au]
+        return render.render_observation(
+            cfg, state.wall_map, wall_words, state.goal_tu, player_dir, hits
         )
 
     def observe_single(self, state: EnvState) -> jax.Array:
@@ -118,15 +145,50 @@ class Game:
         if cfg.obs_type in ("top_u32", "top_rgb"):
             img = self.top_view_single(state)
             return render.u32_to_rgb(img) if cfg.obs_type == "top_rgb" else img
-        wall_words, obstacle_words = self._packed_maps(state)
-        hits = raycast.cast_rays(
-            cfg, obstacle_words, state.pos_wu, state.dir_au
-        )
-        lut = jnp.asarray(cfg.directions_wu, state.pos_wu.dtype)
-        player_dir = lut[state.dir_au]
-        return render.render_observation(
-            cfg, state.wall_map, wall_words, state.goal_tu, player_dir, hits
-        )
+        return self.observe_from_hits_single(state, self.cast_single(state))
+
+    # -- batch-level entry points (Env uses these; the Pallas backend casts
+    # the whole batch in one fused kernel instead of a vmapped per-env scan) -
+
+    def _use_pallas(self) -> bool:
+        # On CPU the kernel runs in Pallas interpreter mode (tests); on TPU
+        # it compiles to a fused Mosaic kernel.
+        return self.cfg.raycast_backend == "pallas"
+
+    def cast_batch(self, state: EnvState) -> raycast.RayHits:
+        if self._use_pallas():
+            from ..ops import raycast_pallas
+
+            cfg = self.cfg
+            wall_words = jax.vmap(bitmap.pack_bits)(state.wall_map)
+            gidx = state.goal_tu[:, 0] * cfg.W + state.goal_tu[:, 1]
+            nw = wall_words.shape[-1]
+            goal_vec = jnp.where(
+                jnp.arange(nw, dtype=jnp.int32)[None, :] == (gidx[:, None] >> 5),
+                jnp.uint32(1) << (gidx[:, None] & 31).astype(jnp.uint32),
+                jnp.uint32(0),
+            )
+            obstacle_words = wall_words | goal_vec
+            dirs = jnp.asarray(cfg.ray_fan_lut)[state.dir_au]  # [B, R, 2]
+            b = dirs.shape[0]
+            blk = 128
+            while b % blk:
+                blk //= 2
+            hit_tu, hit_dim, dist = raycast_pallas.cast_rays_pallas_batched(
+                obstacle_words, (cfg.H, cfg.W), state.pos_wu, dirs,
+                cfg.dda_steps, block_envs=blk,
+            )
+            return raycast.RayHits(
+                ray_dirs=dirs, hit_tu=hit_tu, hit_dim=hit_dim, dist_wu=dist
+            )
+        return jax.vmap(self.cast_single)(state)
+
+    def observe_batch(self, state: EnvState) -> jax.Array:
+        cfg = self.cfg
+        if cfg.obs_type in ("top_u32", "top_rgb") or not self._use_pallas():
+            return jax.vmap(self.observe_single)(state)
+        hits = self.cast_batch(state)
+        return jax.vmap(self.observe_from_hits_single)(state, hits)
 
     def top_view_single(self, state: EnvState) -> jax.Array:
         """uint32 top view (ref ``update_top_view!``, single_room.jl:446-483)."""
@@ -147,10 +209,8 @@ class Game:
         """uint32 camera view regardless of obs_type (ref
         ``update_camera_view!``, single_room.jl:374-444)."""
         cfg = self.cfg
-        wall_words, obstacle_words = self._packed_maps(state)
-        hits = raycast.cast_rays(
-            cfg, obstacle_words, state.pos_wu, state.dir_au
-        )
+        hits = self.cast_single(state)
+        wall_words = bitmap.pack_bits(state.wall_map)
         lut = jnp.asarray(cfg.directions_wu, state.pos_wu.dtype)
         return render.render_camera_u32(cfg, wall_words, lut[state.dir_au], hits)
 

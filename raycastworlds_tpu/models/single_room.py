@@ -21,6 +21,8 @@ from .base import Game
 
 
 class SingleRoom(Game):
+    supports_analytic_raycast = True
+
     def reset_single(self, key: jax.Array) -> EnvState:
         cfg = self.cfg
         next_key, k_goal, k_spawn, k_dir = jax.random.split(key, 4)

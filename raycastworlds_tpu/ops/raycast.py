@@ -67,6 +67,7 @@ def cast_rays_scan(
     pos_wu: jax.Array,
     ray_dirs: jax.Array,
     max_steps: int,
+    unroll: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Branch-free DDA for all rays of one env (vmap over envs).
 
@@ -152,7 +153,7 @@ def cast_rays_scan(
             dist=jnp.where(newly, cross, s.dist),
         ), None
 
-    final, _ = jax.lax.scan(body, init, None, length=max_steps)
+    final, _ = jax.lax.scan(body, init, None, length=max_steps, unroll=unroll)
     hit_tu = jnp.stack([final.map_i, final.map_j], axis=-1)
     return hit_tu, final.hit_dim, final.dist
 
@@ -167,6 +168,7 @@ def cast_rays(
     LUT fan lookup + packed DDA march."""
     dirs = jnp.asarray(cfg.ray_fan_lut)[dir_au]  # [R, 2]
     hit_tu, hit_dim, dist = cast_rays_scan(
-        obstacle_words, (cfg.H, cfg.W), pos_wu, dirs, cfg.dda_steps
+        obstacle_words, (cfg.H, cfg.W), pos_wu, dirs, cfg.dda_steps,
+        unroll=cfg.dda_unroll,
     )
     return RayHits(ray_dirs=dirs, hit_tu=hit_tu, hit_dim=hit_dim, dist_wu=dist)

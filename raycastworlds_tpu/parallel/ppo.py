@@ -275,7 +275,7 @@ class PPOTrainer:
             env, policy, ts.env_state, k_roll, cfg.rollout_steps
         )
 
-        last_obs = jax.vmap(env.game.observe_single)(env_state)
+        last_obs = env.game.observe_batch(env_state)
         _, last_value = net.apply(
             ts.params, preprocess_obs(env.cfg, last_obs)
         )

@@ -76,7 +76,7 @@ def rollout_policy(
         )
         return (res.state, res.obs, key), rec
 
-    obs0 = jax.vmap(env.game.observe_single)(state)
+    obs0 = env.game.observe_batch(state)
     (state, _, _), traj = jax.lax.scan(
         body, (state, obs0, key), None, length=num_steps
     )

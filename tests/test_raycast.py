@@ -117,3 +117,58 @@ def test_ray_fan_geometry():
     np.testing.assert_allclose(dirs[cfg.num_rays // 2 - 1 + 1], [1, 0], atol=2e-3)
     # fan is symmetric: dirs[i,1] == -dirs[R-1-i,1]
     np.testing.assert_allclose(dirs[:, 1], -dirs[::-1, 1], atol=1e-6)
+
+
+def test_analytic_backend_matches_dda():
+    """SingleRoom closed-form raycaster vs the scan DDA: identical hit tiles
+    and faces, distances to float32 rounding."""
+    import raycastworlds_tpu as rcw
+    from raycastworlds_tpu.ops import raycast_analytic
+
+    cfg = EnvConfig(num_rays=128, height_camera_view_pu=32)
+    game = rcw.SingleRoom(cfg)
+    cast_dda = jax.jit(game.cast_single)
+    cast_an = jax.jit(
+        lambda s: raycast_analytic.cast_rays_analytic(
+            cfg, s.goal_tu, s.pos_wu, s.dir_au
+        )
+    )
+    key = jax.random.PRNGKey(2)
+    for i in range(6):
+        key, k = jax.random.split(key)
+        state = jax.jit(game.reset_single)(k)
+        # also exercise off-center positions
+        state = state.replace(
+            pos_wu=state.pos_wu + jnp.float32(0.0625 * (i % 3))
+        )
+        a = cast_dda(state)
+        b = cast_an(state)
+        np.testing.assert_array_equal(np.asarray(a.hit_tu), np.asarray(b.hit_tu))
+        np.testing.assert_array_equal(np.asarray(a.hit_dim), np.asarray(b.hit_dim))
+        np.testing.assert_allclose(
+            np.asarray(a.dist_wu), np.asarray(b.dist_wu), rtol=2e-6, atol=2e-6
+        )
+
+
+def test_pallas_backend_bit_exact_vs_scan():
+    """The Pallas kernel replays the scan DDA's float sequence exactly
+    (interpreter mode on CPU)."""
+    import raycastworlds_tpu as rcw
+
+    cfg_scan = EnvConfig(num_rays=64, height_camera_view_pu=32)
+    cfg_pl = EnvConfig(
+        num_rays=64, height_camera_view_pu=32, raycast_backend="pallas"
+    )
+    g_scan = rcw.SingleRoom(cfg_scan)
+    g_pl = rcw.SingleRoom(cfg_pl)
+    keys = jax.random.split(jax.random.PRNGKey(5), 8)
+    state = jax.jit(jax.vmap(g_scan.reset_single))(keys)
+    a = jax.jit(g_scan.cast_batch)(state)
+    b = jax.jit(g_pl.cast_batch)(state)
+    np.testing.assert_array_equal(np.asarray(a.hit_tu), np.asarray(b.hit_tu))
+    np.testing.assert_array_equal(np.asarray(a.hit_dim), np.asarray(b.hit_dim))
+    np.testing.assert_array_equal(np.asarray(a.dist_wu), np.asarray(b.dist_wu))
+    # and through the full observation path
+    obs_a = jax.jit(g_scan.observe_batch)(state)
+    obs_b = jax.jit(g_pl.observe_batch)(state)
+    np.testing.assert_array_equal(np.asarray(obs_a), np.asarray(obs_b))
