@@ -24,12 +24,13 @@ import jax.numpy as jnp
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--num-envs", type=int, default=1024)
+    p.add_argument("--num-envs", type=int, default=4096)
     p.add_argument("--num-rays", type=int, default=64)
     p.add_argument("--height-px", type=int, default=64)
-    p.add_argument("--steps", type=int, default=256, help="scan length per program run")
+    p.add_argument("--steps", type=int, default=512, help="scan length per program run")
     p.add_argument("--reps", type=int, default=4, help="timed program executions")
     p.add_argument("--obs", type=str, default="camera_u32")
+    p.add_argument("--raycast", type=str, default="scan", help="scan|analytic|pallas")
     p.add_argument("--backend", type=str, default="", help="override jax_platforms")
     args = p.parse_args()
 
@@ -43,6 +44,7 @@ def main() -> None:
         num_rays=args.num_rays,
         height_camera_view_pu=args.height_px,
         obs_type=args.obs,
+        raycast_backend=args.raycast,
     )
     env = rcw.Env(rcw.SingleRoom(cfg), num_envs=args.num_envs, jit=False)
 

@@ -1,1 +1,1 @@
-from . import checkpoint, profiling, viewer  # noqa: F401
+from . import checkpoint, debug, profiling, viewer  # noqa: F401
