@@ -51,10 +51,13 @@ def main() -> None:
     state, _ = jax.jit(env._reset_impl)(jax.random.PRNGKey(0))
     run = jax.jit(steps_per_second_program(env, args.steps), donate_argnums=(0,))
 
-    # warmup / compile
+    # warmup / compile.  NOTE: the timed region ends with a host transfer of
+    # the checksum scalar, not block_until_ready — on remote-execution
+    # backends (axon tunnel) block_until_ready can return before the program
+    # actually finishes, which inflates throughput by orders of magnitude.
     key = jax.random.PRNGKey(1)
     state, acc = run(state, key)
-    jax.block_until_ready(acc)
+    float(acc)
 
     best = 0.0
     times = []
@@ -62,7 +65,7 @@ def main() -> None:
         key = jax.random.fold_in(key, r)
         t0 = time.perf_counter()
         state, acc = run(state, key)
-        jax.block_until_ready(acc)
+        float(acc)
         dt = time.perf_counter() - t0
         times.append(dt)
         sps = args.num_envs * args.steps / dt

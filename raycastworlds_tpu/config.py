@@ -87,6 +87,11 @@ class EnvConfig:
     # Unroll factor for the scan DDA (TPU: higher amortizes loop overhead;
     # CPU tests keep 1 for fast compiles).
     dda_unroll: int = 1
+    # Stop the DDA while-loop once all rays have hit (identical results but
+    # measured SLOWER on v5e — the while_loop blocks XLA pipelining and adds
+    # a cross-batch reduce per iteration; kept as an option for sparse
+    # scenes with far-above-typical trip counts).
+    dda_early_exit: bool = False
 
     def __post_init__(self):
         if self.height_tile_map_tu < 3 or self.width_tile_map_tu < 3:
@@ -102,7 +107,7 @@ class EnvConfig:
             "top_u32", "top_rgb",
         ):
             raise ValueError(f"unknown obs_type: {self.obs_type}")
-        if self.raycast_backend not in ("scan", "analytic", "pallas", "auto"):
+        if self.raycast_backend not in ("scan", "scan_flat", "analytic", "pallas", "auto"):
             raise ValueError(f"unknown raycast_backend: {self.raycast_backend}")
 
     # ------------------------------------------------------------------

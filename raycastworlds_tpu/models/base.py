@@ -155,21 +155,27 @@ class Game:
         # it compiles to a fused Mosaic kernel.
         return self.cfg.raycast_backend == "pallas"
 
+    def _packed_maps_batch(self, state: EnvState):
+        cfg = self.cfg
+        wall_words = jax.vmap(bitmap.pack_bits)(state.wall_map)
+        gidx = state.goal_tu[:, 0] * cfg.W + state.goal_tu[:, 1]
+        nw = wall_words.shape[-1]
+        goal_vec = jnp.where(
+            jnp.arange(nw, dtype=jnp.int32)[None, :] == (gidx[:, None] >> 5),
+            jnp.uint32(1) << (gidx[:, None] & 31).astype(jnp.uint32),
+            jnp.uint32(0),
+        )
+        return wall_words, wall_words | goal_vec
+
     def cast_batch(self, state: EnvState) -> raycast.RayHits:
+        cfg = self.cfg
+        if self._use_analytic():
+            return jax.vmap(self.cast_single)(state)
+        _, obstacle_words = self._packed_maps_batch(state)
+        dirs = jnp.asarray(cfg.ray_fan_lut)[state.dir_au]  # [B, R, 2]
         if self._use_pallas():
             from ..ops import raycast_pallas
 
-            cfg = self.cfg
-            wall_words = jax.vmap(bitmap.pack_bits)(state.wall_map)
-            gidx = state.goal_tu[:, 0] * cfg.W + state.goal_tu[:, 1]
-            nw = wall_words.shape[-1]
-            goal_vec = jnp.where(
-                jnp.arange(nw, dtype=jnp.int32)[None, :] == (gidx[:, None] >> 5),
-                jnp.uint32(1) << (gidx[:, None] & 31).astype(jnp.uint32),
-                jnp.uint32(0),
-            )
-            obstacle_words = wall_words | goal_vec
-            dirs = jnp.asarray(cfg.ray_fan_lut)[state.dir_au]  # [B, R, 2]
             b = dirs.shape[0]
             blk = 128
             while b % blk:
@@ -178,14 +184,24 @@ class Game:
                 obstacle_words, (cfg.H, cfg.W), state.pos_wu, dirs,
                 cfg.dda_steps, block_envs=blk,
             )
-            return raycast.RayHits(
-                ray_dirs=dirs, hit_tu=hit_tu, hit_dim=hit_dim, dist_wu=dist
+        elif cfg.raycast_backend == "scan_flat":
+            # flattened [B*R]-lane DDA; bit-identical to the vmapped scan but
+            # measured slower on v5e (the broadcast packed-words operand gets
+            # re-read every iteration) — kept as an explicit option.
+            hit_tu, hit_dim, dist = raycast.cast_rays_scan_flat(
+                obstacle_words, (cfg.H, cfg.W), state.pos_wu, dirs,
+                cfg.dda_steps, unroll=cfg.dda_unroll,
             )
-        return jax.vmap(self.cast_single)(state)
+        else:
+            hits = jax.vmap(self.cast_single)(state)
+            return hits
+        return raycast.RayHits(
+            ray_dirs=dirs, hit_tu=hit_tu, hit_dim=hit_dim, dist_wu=dist
+        )
 
     def observe_batch(self, state: EnvState) -> jax.Array:
         cfg = self.cfg
-        if cfg.obs_type in ("top_u32", "top_rgb") or not self._use_pallas():
+        if cfg.obs_type in ("top_u32", "top_rgb"):
             return jax.vmap(self.observe_single)(state)
         hits = self.cast_batch(state)
         return jax.vmap(self.observe_from_hits_single)(state, hits)

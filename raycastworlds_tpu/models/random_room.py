@@ -32,6 +32,11 @@ class RandomRoomConfig(EnvConfig):
         super().__post_init__()
         if not (0.0 <= self.wall_density < 1.0):
             raise ValueError("wall_density must be in [0, 1)")
+        if self.height_tile_map_tu < 5 or self.width_tile_map_tu < 5:
+            raise ValueError(
+                "RandomRoom needs at least a 5x5 map (enclosed-goal spawn "
+                "fallback requires a 3x3+ interior)"
+            )
 
 
 class RandomRoom(Game):
@@ -64,9 +69,20 @@ class RandomRoom(Game):
         # spawn only where the goal is reachable (and not on the goal)
         reachable = flood.flood_fill(~wall_map, goal_tu)
         goal_mask = (ii == goal_tu[0]) & (jj == goal_tu[1])
-        spawn_tu = sampling.sample_empty_tile(
-            k_spawn, ~(reachable & ~goal_mask)
-        )
+        valid = reachable & ~goal_mask
+        sampled = sampling.sample_empty_tile(k_spawn, ~valid)
+        # Degenerate map: the goal is fully walled in (no reachable tile
+        # besides itself).  Carve a spawn tile adjacent to the goal instead —
+        # interior is guaranteed since H, W >= 5 and the goal is interior.
+        fallback = jnp.stack(
+            [
+                jnp.where(goal_tu[0] > 1, goal_tu[0] - 1, goal_tu[0] + 1),
+                goal_tu[1],
+            ]
+        ).astype(jnp.int32)
+        has_valid = jnp.any(valid)
+        spawn_tu = jnp.where(has_valid, sampled, fallback)
+        wall_map = wall_map.at[spawn_tu[0], spawn_tu[1]].set(False)
         pos_wu = spawn_tu.astype(jnp.float32) + 0.5
         dir_au = sampling.sample_heading(k_dir, cfg.num_directions)
 

@@ -68,6 +68,7 @@ def cast_rays_scan(
     ray_dirs: jax.Array,
     max_steps: int,
     unroll: int = 1,
+    early_exit: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Branch-free DDA for all rays of one env (vmap over envs).
 
@@ -153,9 +154,115 @@ def cast_rays_scan(
             dist=jnp.where(newly, cross, s.dist),
         ), None
 
-    final, _ = jax.lax.scan(body, init, None, length=max_steps, unroll=unroll)
+    if early_exit:
+        # Stop marching once every ray has hit (identical results — frozen
+        # rays are no-ops — but typical scenes finish in well under the
+        # worst-case H+W iterations).  Under vmap this becomes "until every
+        # env's rays are done", still a pure win.
+        def cond(carry):
+            i, s = carry
+            return (i < max_steps) & jnp.any(~s.hit)
+
+        def wbody(carry):
+            i, s = carry
+            s2, _ = body(s, None)
+            return i + 1, s2
+
+        _, final = jax.lax.while_loop(cond, wbody, (jnp.int32(0), init))
+    else:
+        final, _ = jax.lax.scan(
+            body, init, None, length=max_steps, unroll=unroll
+        )
     hit_tu = jnp.stack([final.map_i, final.map_j], axis=-1)
     return hit_tu, final.hit_dim, final.dist
+
+
+def cast_rays_scan_flat(
+    obstacle_words: jax.Array,   # u32[B, NW]
+    shape: Tuple[int, int],
+    pos_wu: jax.Array,           # f32[B, 2]
+    ray_dirs: jax.Array,         # f32[B, R, 2]
+    max_steps: int,
+    unroll: int = 1,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Batch-level DDA over flattened [B*R] lanes.
+
+    Identical arithmetic (and therefore bit-identical results) to vmapping
+    :func:`cast_rays_scan`, but the working arrays are 1-D over all rays of
+    all envs, so the VPU's 128-lane tiles are fully occupied even when
+    ``num_rays`` is not a multiple of 128 (a [B, 64] layout wastes half of
+    every tile).  The per-env packed words broadcast to per-lane operands
+    once, hoisted out of the march loop.
+    """
+    b, r, _ = ray_dirs.shape
+    nw = obstacle_words.shape[-1]
+    words_flat = jnp.broadcast_to(
+        obstacle_words[:, None, :], (b, r, nw)
+    ).reshape(b * r, nw)
+    dirs_flat = ray_dirs.reshape(b * r, 2)
+    pos_flat = jnp.broadcast_to(pos_wu[:, None, :], (b, r, 2)).reshape(
+        b * r, 2
+    )
+
+    h, w = shape
+    dx = dirs_flat[:, 0]
+    dy = dirs_flat[:, 1]
+    px = pos_flat[:, 0]
+    py = pos_flat[:, 1]
+
+    map_i = jnp.floor(px).astype(jnp.int32)
+    map_j = jnp.floor(py).astype(jnp.int32)
+    delta_i = jnp.abs(1.0 / dx)
+    delta_j = jnp.abs(1.0 / dy)
+    step_i = jnp.where(dx < 0, -1, 1).astype(jnp.int32)
+    step_j = jnp.where(dy < 0, -1, 1).astype(jnp.int32)
+    frac_i = px - jnp.floor(px)
+    frac_j = py - jnp.floor(py)
+    side_i = jnp.where(dx < 0, frac_i, 1.0 - frac_i) * delta_i
+    side_j = jnp.where(dy < 0, frac_j, 1.0 - frac_j) * delta_j
+    big = jnp.asarray(jnp.finfo(dx.dtype).max, dx.dtype)
+
+    init = (
+        map_i, map_j, side_i, side_j,
+        jnp.zeros_like(dx, bool),
+        jnp.zeros_like(dx, jnp.int32),
+        jnp.full_like(dx, big),
+    )
+
+    def body(s, _):
+        mi, mj, si, sj, hit, hd, dist = s
+        take_i = si < sj
+        adv = ~hit
+        cross = jnp.minimum(si, sj)
+        nmi = mi + jnp.where(adv & take_i, step_i, 0)
+        nmj = mj + jnp.where(adv & ~take_i, step_j, 0)
+        nsi = si + jnp.where(adv & take_i, delta_i, 0.0)
+        nsj = sj + jnp.where(adv & ~take_i, delta_j, 0.0)
+        idx = jnp.clip(nmi, 0, h - 1) * w + jnp.clip(nmj, 0, w - 1)
+        word_idx = idx >> 5
+        bit_idx = (idx & 31).astype(jnp.uint32)
+        if nw == 1:
+            wsel = words_flat[:, 0]
+        else:
+            sel = word_idx[:, None] == jnp.arange(nw, dtype=jnp.int32)
+            wsel = jnp.sum(
+                jnp.where(sel, words_flat, jnp.uint32(0)), axis=-1
+            )
+        occ = ((wsel >> bit_idx) & jnp.uint32(1)).astype(jnp.bool_)
+        newly = adv & occ
+        return (
+            nmi, nmj, nsi, nsj, hit | occ,
+            jnp.where(newly, jnp.where(take_i, 0, 1), hd),
+            jnp.where(newly, cross, dist),
+        ), None
+
+    (mi, mj, _, _, _, hd, dist), _ = jax.lax.scan(
+        body, init, None, length=max_steps, unroll=unroll
+    )
+    hit_tu = jnp.stack(
+        [mi.reshape(b, r), mj.reshape(b, r)], axis=-1
+    )
+    return hit_tu, hd.reshape(b, r), dist.reshape(b, r)
 
 
 def cast_rays(
@@ -169,6 +276,6 @@ def cast_rays(
     dirs = jnp.asarray(cfg.ray_fan_lut)[dir_au]  # [R, 2]
     hit_tu, hit_dim, dist = cast_rays_scan(
         obstacle_words, (cfg.H, cfg.W), pos_wu, dirs, cfg.dda_steps,
-        unroll=cfg.dda_unroll,
+        unroll=cfg.dda_unroll, early_exit=cfg.dda_early_exit,
     )
     return RayHits(ray_dirs=dirs, hit_tu=hit_tu, hit_dim=hit_dim, dist_wu=dist)

@@ -95,6 +95,11 @@ def render_camera_u32(
     pad = jnp.where(full, 0, (hpu - h_pu) // 2)  # i32[R]
 
     slab = column_colors_u32(wall_words, (cfg.H, cfg.W), hits)  # u32[R]
+    # Mirror (:431) by flipping the cheap per-ray vectors BEFORE the [H, R]
+    # broadcast — flipping the full image afterwards is a whole-image
+    # relayout pass (~20% of step time on v5e for nothing).
+    pad = jnp.flip(pad, axis=0)
+    slab = jnp.flip(slab, axis=0)
     row = jnp.arange(hpu, dtype=jnp.int32)[:, None]  # [H_pu, 1]
     img = jnp.where(
         row < pad[None, :],
@@ -105,7 +110,7 @@ def render_camera_u32(
             slab[None, :],
         ),
     )
-    return jnp.flip(img, axis=1)  # mirrored columns (:431)
+    return img
 
 
 def u32_to_rgb(img: jax.Array) -> jax.Array:

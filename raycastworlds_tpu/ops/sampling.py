@@ -18,16 +18,32 @@ def sample_empty_tile(key: jax.Array, occupied_map: jax.Array) -> jax.Array:
 
     Equivalent in distribution to ``sample_empty_position``
     (/root/reference/src/utils.jl:23-58) over the full grid.  If every tile is
-    occupied the draw degenerates to uniform over all tiles (the reference
-    warns and returns an occupied tile in that case, utils.jl:34-36).
+    occupied the draw returns tile 0 (the reference warns and returns an
+    occupied tile on exhaustion, utils.jl:34-36).
+
+    Implementation: cumsum inversion — count the empty tiles, draw ONE
+    uniform, select the k-th empty tile by argmax over the running count.
+    A masked-gumbel categorical would burn H*W random uniforms per env per
+    auto-reset; this draws one.  Auto-reset runs this every step for every
+    env, so the random-bit budget matters.  (Selection bias from the
+    float32 ``u*n`` inversion is < n/2^24 — far below anything observable.)
+    The NumPy oracle mirrors this arithmetic exactly.
     """
+    import numpy as np
+
     h, w = occupied_map.shape
-    occ = occupied_map.reshape(-1)
-    neg = jnp.asarray(-jnp.inf, jnp.float32)
-    logits = jnp.where(occ, neg, 0.0)
-    # All-occupied fallback: uniform over everything rather than NaN.
-    logits = jnp.where(jnp.all(occ), jnp.zeros_like(logits), logits)
-    idx = jax.random.categorical(key, logits)
+    nt = h * w
+    empty = (~occupied_map.reshape(-1)).astype(jnp.float32)
+    # Prefix count as a triangular matvec: jnp.cumsum lowers to an O(n^2)
+    # reduce-window on TPU (measured ~20% of a whole env step); one MXU
+    # matvec against a ones-triangle is effectively free.  Counts <= n are
+    # exact in float32.
+    triu = jnp.asarray(np.triu(np.ones((nt, nt), np.float32)))
+    c = jnp.dot(empty, triu, preferred_element_type=jnp.float32)
+    n = c[-1]
+    u = jax.random.uniform(key, ())
+    k = jnp.clip(jnp.floor(u * n), 0.0, jnp.maximum(n - 1.0, 0.0))
+    idx = jnp.argmax(c > k).astype(jnp.int32)
     return jnp.stack([idx // w, idx % w]).astype(jnp.int32)
 
 

@@ -105,12 +105,20 @@ def render_top_view(
 
     # --- ray segments (ref :474-478) ---
     p_px = wu_to_pu(pos_wu, ppt)  # i32[2]
-    # The barrier pins two-rounding semantics (mul, then add): XLA would
-    # otherwise fuse this into an FMA whose low bits differ from the scalar
-    # oracle, flipping the floor() pixel when a hit lands on a gridline.
-    prod = jax.lax.optimization_barrier(hits.dist_wu[:, None] * hits.ray_dirs)
-    stop_wu = pos_wu[None, :] + prod  # [R, 2]
-    stop_px = wu_to_pu(stop_wu, ppt)  # i32[R, 2]
+    # Endpoint: the hit-axis coordinate is ALWAYS exactly a gridline (the
+    # entered face of the hit tile), so compute it from integer hit data —
+    # a float `pos + dist*dir` is FMA-fusion-sensitive and flips the floor()
+    # pixel by one on exactly these gridline values.  Only the cross-axis
+    # coordinate (generically non-integer) stays in float.
+    step_pos = hits.ray_dirs >= 0  # [R, 2]
+    face = jnp.where(step_pos, hits.hit_tu, hits.hit_tu + 1)  # i32[R, 2]
+    cross_wu = pos_wu[None, :] + hits.dist_wu[:, None] * hits.ray_dirs
+    cross_px = wu_to_pu(cross_wu, ppt)  # i32[R, 2]
+    axis_px = face * ppt
+    is_axis = (
+        jnp.arange(2, dtype=jnp.int32)[None, :] == hits.hit_dim[:, None]
+    )
+    stop_px = jnp.where(is_axis, axis_px, cross_px)  # i32[R, 2]
     r = hits.ray_dirs.shape[0]
     p0 = jnp.broadcast_to(p_px[None, :], (r, 2))
     pts, valid = bresenham_points(p0, stop_px, max_len=hpu + wpu)  # [L, R, 2]

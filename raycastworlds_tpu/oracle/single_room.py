@@ -72,8 +72,14 @@ class OracleSingleRoom:
 
         occupied = self.wall_map.copy()
         occupied[self.goal_tu] = True
-        logits = np.where(occupied.reshape(-1), -np.inf, 0.0).astype(np.float32)
-        idx = int(np.asarray(jax.random.categorical(k_spawn, logits)))
+        # cumsum-inversion sampler, mirroring ops/sampling.sample_empty_tile
+        empty = (~occupied.reshape(-1)).astype(np.int32)
+        c = np.cumsum(empty)
+        n = int(c[-1])
+        u = np.float32(np.asarray(jax.random.uniform(k_spawn, ())))
+        k = int(np.floor(u * np.float32(n)))
+        k = min(max(k, 0), max(n - 1, 0))
+        idx = int(np.argmax(c > k))
         si, sj = idx // cfg.W, idx % cfg.W
         self.pos_wu = np.array([si + 0.5, sj + 0.5], np.float32)
 
@@ -275,9 +281,19 @@ class OracleSingleRoom:
             wu_to_pu(self.pos_wu[1], ppt),
         )
         for r in range(cfg.num_rays):
+            # hit-axis endpoint from exact integer gridline (ops/topview.py
+            # spec); cross axis in float
             sx = np.float32(self.pos_wu[0] + np.float32(dist[r] * dirs[r, 0]))
             sy = np.float32(self.pos_wu[1] + np.float32(dist[r] * dirs[r, 1]))
-            p1 = (wu_to_pu(sx, ppt), wu_to_pu(sy, ppt))
+            px1 = wu_to_pu(sx, ppt)
+            py1 = wu_to_pu(sy, ppt)
+            if hit_dim[r] == 0:
+                face = hit_tu[r, 0] if dirs[r, 0] >= 0 else hit_tu[r, 0] + 1
+                px1 = int(face) * ppt
+            else:
+                face = hit_tu[r, 1] if dirs[r, 1] >= 0 else hit_tu[r, 1] + 1
+                py1 = int(face) * ppt
+            p1 = (px1, py1)
             for (x, y) in self._bresenham(p0, p1):
                 if 0 <= x < hpu and 0 <= y < wpu:
                     img[x, y] = colors.RAY

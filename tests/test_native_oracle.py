@@ -1,0 +1,77 @@
+"""Native C++ reference engine: bit-parity with the NumPy oracle and with
+the jitted env over long trajectories."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import raycastworlds_tpu as rcw
+from raycastworlds_tpu.oracle.single_room import OracleSingleRoom
+from raycastworlds_tpu.oracle.native import NativeOracleSingleRoom, native_lib
+
+
+CFG = rcw.EnvConfig(num_rays=64, height_camera_view_pu=64)
+
+pytestmark = pytest.mark.skipif(
+    native_lib() is None, reason="librefengine.so not built"
+)
+
+
+def test_native_matches_numpy_oracle():
+    a = OracleSingleRoom(CFG)
+    b = NativeOracleSingleRoom(CFG)
+    key = jax.random.PRNGKey(3)
+    a.reset(key)
+    b.reset(key)
+    rng = np.random.RandomState(0)
+    for t in range(120):
+        assert a.pos_wu.tolist() == b.pos_wu.tolist(), t
+        assert a.dir_au == b.dir_au and a.done == b.done
+        assert float(a.reward) == float(b.reward)
+        if t % 30 == 0:
+            np.testing.assert_array_equal(a.camera_view(), b.camera_view())
+        act = int(rng.choice(4, p=[0.5, 0.1, 0.2, 0.2]))
+        if a.done:
+            k = a.rng_key
+            a.reset(k)
+            b.reset(k)
+        else:
+            a.step(act)
+            b.step(act)
+
+
+def test_native_long_trajectory_parity_vs_jax():
+    """The reference test's scale (thousands of steps,
+    /root/reference/test/runtests.jl:6) — practical only with the C++ oracle."""
+    game = rcw.SingleRoom(CFG)
+    reset = jax.jit(game.reset_single)
+    step = jax.jit(game.step_single)
+    observe = jax.jit(game.observe_single)
+    oracle = NativeOracleSingleRoom(CFG)
+
+    key = jax.random.PRNGKey(17)
+    state = reset(key)
+    oracle.reset(key)
+    rng = np.random.RandomState(1)
+    episodes = 0
+    for t in range(1500):
+        assert np.asarray(state.pos_wu).tolist() == oracle.pos_wu.tolist(), t
+        assert int(state.dir_au) == oracle.dir_au, t
+        assert float(state.reward) == float(oracle.reward), t
+        assert bool(state.done) == oracle.done, t
+        if t % 250 == 0:
+            np.testing.assert_array_equal(
+                np.asarray(observe(state)), oracle.camera_view(), err_msg=str(t)
+            )
+        if bool(state.done):
+            episodes += 1
+            k = state.rng_key
+            state = reset(k)
+            oracle.reset(k)
+        else:
+            a = int(rng.choice(4, p=[0.55, 0.05, 0.2, 0.2]))
+            state = step(state, jnp.int32(a))
+            oracle.step(a)
+    # parity over the full horizon is the property under test; episode count
+    # depends on the random walk actually finding the goal (may be 0)

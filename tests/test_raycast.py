@@ -172,3 +172,18 @@ def test_pallas_backend_bit_exact_vs_scan():
     obs_a = jax.jit(g_scan.observe_batch)(state)
     obs_b = jax.jit(g_pl.observe_batch)(state)
     np.testing.assert_array_equal(np.asarray(obs_a), np.asarray(obs_b))
+
+
+def test_flat_batched_scan_bit_exact_vs_vmapped():
+    import raycastworlds_tpu as rcw
+    from raycastworlds_tpu.ops import bitmap
+
+    cfg = EnvConfig(num_rays=48, height_camera_view_pu=32)
+    game = rcw.SingleRoom(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(8), 16)
+    state = jax.jit(jax.vmap(game.reset_single))(keys)
+    a = jax.jit(jax.vmap(game.cast_single))(state)  # per-env scan
+    b = jax.jit(game.cast_batch)(state)             # flat batched scan
+    np.testing.assert_array_equal(np.asarray(a.hit_tu), np.asarray(b.hit_tu))
+    np.testing.assert_array_equal(np.asarray(a.hit_dim), np.asarray(b.hit_dim))
+    np.testing.assert_array_equal(np.asarray(a.dist_wu), np.asarray(b.dist_wu))
