@@ -7,6 +7,10 @@ Multi-host: call parallel.mesh.initialize_distributed() per host first.
 
 import argparse
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

@@ -19,7 +19,7 @@ from ..config import (
     TURN_LEFT,
     TURN_RIGHT,
 )
-from ..ops import bitmap, collision, raycast, render
+from ..ops import bitmap, collision, lut, raycast, render
 from ..state import EnvState
 
 
@@ -51,8 +51,9 @@ class Game:
         """
         cfg = self.cfg
         dtype = state.pos_wu.dtype
-        lut = jnp.asarray(cfg.directions_wu, dtype)
-        dir_wu = lut[state.dir_au]
+        dir_wu = lut.take_rows(
+            jnp.asarray(cfg.directions_wu, dtype), state.dir_au
+        )
 
         moving = action < 2
         sign = jnp.where(action == MOVE_FORWARD, 1.0, -1.0).astype(dtype)
@@ -134,8 +135,9 @@ class Game:
     ) -> jax.Array:
         cfg = self.cfg
         wall_words = bitmap.pack_bits(state.wall_map)
-        lut = jnp.asarray(cfg.directions_wu, state.pos_wu.dtype)
-        player_dir = lut[state.dir_au]
+        player_dir = lut.take_rows(
+            jnp.asarray(cfg.directions_wu, state.pos_wu.dtype), state.dir_au
+        )
         return render.render_observation(
             cfg, state.wall_map, wall_words, state.goal_tu, player_dir, hits
         )
@@ -172,7 +174,7 @@ class Game:
         if self._use_analytic():
             return jax.vmap(self.cast_single)(state)
         _, obstacle_words = self._packed_maps_batch(state)
-        dirs = jnp.asarray(cfg.ray_fan_lut)[state.dir_au]  # [B, R, 2]
+        dirs = lut.take_rows(jnp.asarray(cfg.ray_fan_lut), state.dir_au)  # [B, R, 2]
         if self._use_pallas():
             from ..ops import raycast_pallas
 
@@ -227,8 +229,10 @@ class Game:
         cfg = self.cfg
         hits = self.cast_single(state)
         wall_words = bitmap.pack_bits(state.wall_map)
-        lut = jnp.asarray(cfg.directions_wu, state.pos_wu.dtype)
-        return render.render_camera_u32(cfg, wall_words, lut[state.dir_au], hits)
+        player_dir = lut.take_rows(
+            jnp.asarray(cfg.directions_wu, state.pos_wu.dtype), state.dir_au
+        )
+        return render.render_camera_u32(cfg, wall_words, player_dir, hits)
 
     # -- conveniences ---------------------------------------------------
 

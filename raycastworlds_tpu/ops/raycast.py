@@ -272,8 +272,10 @@ def cast_rays(
     dir_au: jax.Array,
 ) -> RayHits:
     """Full cast for one env (ref ``cast_rays!``, single_room.jl:195-231):
-    LUT fan lookup + packed DDA march."""
-    dirs = jnp.asarray(cfg.ray_fan_lut)[dir_au]  # [R, 2]
+    LUT fan lookup (one-hot matmul; ops/lut.py) + packed DDA march."""
+    from . import lut as lut_ops
+
+    dirs = lut_ops.take_rows(jnp.asarray(cfg.ray_fan_lut), dir_au)  # [R, 2]
     hit_tu, hit_dim, dist = cast_rays_scan(
         obstacle_words, (cfg.H, cfg.W), pos_wu, dirs, cfg.dda_steps,
         unroll=cfg.dda_unroll, early_exit=cfg.dda_early_exit,

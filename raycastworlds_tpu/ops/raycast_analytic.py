@@ -39,8 +39,10 @@ def cast_rays_analytic(
     """Exact first-hit for border-ring + single-goal maps (one env; vmap for
     batches).  Matches DDA hit tiles/faces; distances agree to float32
     rounding."""
+    from . import lut as lut_ops
+
     h, w = cfg.H, cfg.W
-    dirs = jnp.asarray(cfg.ray_fan_lut)[dir_au]  # [R, 2]
+    dirs = lut_ops.take_rows(jnp.asarray(cfg.ray_fan_lut), dir_au)  # [R, 2]
     dx, dy = dirs[:, 0], dirs[:, 1]
     px, py = pos_wu[0], pos_wu[1]
 

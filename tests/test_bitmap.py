@@ -35,3 +35,18 @@ def test_lookup_arbitrary_shape_indices():
     idx = jnp.array([[3 * 16 + 7, 0], [1, 3 * 16 + 7]], jnp.int32)
     got = np.asarray(bitmap.lookup_bit(words, idx))
     np.testing.assert_array_equal(got, [[True, False], [False, True]])
+
+
+def test_take_rows_matches_indexing():
+    from raycastworlds_tpu.ops import lut
+
+    rng = np.random.RandomState(0)
+    table = jnp.asarray(rng.randn(128, 7, 2).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 128, size=(33,)), jnp.int32)
+    a = np.asarray(jax.jit(lut.take_rows)(table, idx))
+    b = np.asarray(table)[np.asarray(idx)]
+    np.testing.assert_array_equal(a, b)  # bit-exact
+    # scalar index under vmap
+    f = jax.jit(jax.vmap(lambda i: lut.take_rows(table, i)))
+    c = np.asarray(f(idx))
+    np.testing.assert_array_equal(c, b)
