@@ -29,8 +29,21 @@ class SingleRoom(Game):
 
         wall_map = jnp.asarray(cfg.border_wall_map)
         goal_tu = sampling.sample_interior_tile(k_goal, cfg.H, cfg.W)
-        occupied = wall_map.at[goal_tu[0], goal_tu[1]].set(True)
-        spawn_tu = sampling.sample_empty_tile(k_spawn, occupied)
+        # Spawn: uniform over empty tiles = interior minus the goal.  For the
+        # border-walls-only map the k-th empty tile is closed-form (interior
+        # tiles in row-major order), so the general masked sampler's
+        # per-reset [H*W] mask/prefix work disappears.  Bit-identical to
+        # sampling.sample_empty_tile over (walls | goal): same uniform draw,
+        # same count n, same rank->tile order.
+        wi = cfg.W - 2
+        n = jnp.float32((cfg.H - 2) * wi - 1)  # interior minus goal
+        u = jax.random.uniform(k_spawn, ())
+        k = jnp.clip(jnp.floor(u * n), 0.0, jnp.maximum(n - 1.0, 0.0)).astype(
+            jnp.int32
+        )
+        goal_rank = (goal_tu[0] - 1) * wi + (goal_tu[1] - 1)
+        r = k + (k >= goal_rank).astype(jnp.int32)
+        spawn_tu = jnp.stack([1 + r // wi, 1 + r % wi]).astype(jnp.int32)
         pos_wu = spawn_tu.astype(jnp.float32) + 0.5  # tile center (ref :125)
         dir_au = sampling.sample_heading(k_dir, cfg.num_directions)
 

@@ -53,19 +53,25 @@ def _kernel(
     side_j = jnp.where(dy < 0, frac_j, 1.0 - frac_j) * delta_j
 
     big = jnp.asarray(jnp.finfo(dx.dtype).max, dx.dtype)
-    hit = jnp.zeros(dx.shape, jnp.bool_)
+    # Masks are kept as 0/1 int32 throughout: Mosaic mis-lays-out mixed-rank
+    # i1 vectors (arith.ori on vector<8x128x32xi1> vs vector<8x128xi1>), so
+    # boolean vector algebra is avoided entirely.  0/1 integer blends are
+    # bit-exact.
+    hit = jnp.zeros(dx.shape, jnp.int32)
     hit_dim = jnp.zeros(dx.shape, jnp.int32)
     dist = jnp.full(dx.shape, big, dx.dtype)
 
     def body(_, carry):
         map_i, map_j, side_i, side_j, hit, hit_dim, dist = carry
-        take_i = side_i < side_j
-        adv = jnp.logical_not(hit)
+        take_i = jnp.where(side_i < side_j, 1, 0).astype(jnp.int32)
+        adv = 1 - hit
         cross = jnp.minimum(side_i, side_j)
-        map_i = map_i + jnp.where(adv & take_i, step_i, 0)
-        map_j = map_j + jnp.where(adv & ~take_i, step_j, 0)
-        side_i = side_i + jnp.where(adv & take_i, delta_i, 0.0)
-        side_j = side_j + jnp.where(adv & ~take_i, delta_j, 0.0)
+        go_i = adv * take_i
+        go_j = adv * (1 - take_i)
+        map_i = map_i + go_i * step_i
+        map_j = map_j + go_j * step_j
+        side_i = side_i + go_i.astype(dx.dtype) * delta_i
+        side_j = side_j + go_j.astype(dx.dtype) * delta_j
         idx = (
             jnp.clip(map_i, 0, h - 1) * w + jnp.clip(map_j, 0, w - 1)
         )
@@ -74,14 +80,14 @@ def _kernel(
         occ_word = jnp.zeros(dx.shape, jnp.uint32)
         for k in range(n_words):
             wk = words_ref[:, k][:, None]  # [BLK, 1] u32
-            occ_word = occ_word | jnp.where(
-                word_idx == k, jnp.broadcast_to(wk, dx.shape), jnp.uint32(0)
-            )
-        occ = ((occ_word >> bit_idx) & jnp.uint32(1)).astype(jnp.bool_)
-        newly = adv & occ
-        hit_dim = jnp.where(newly, jnp.where(take_i, 0, 1), hit_dim)
-        dist = jnp.where(newly, cross, dist)
-        hit = hit | occ
+            sel = jnp.where(word_idx == k, jnp.uint32(1), jnp.uint32(0))
+            occ_word = occ_word + sel * jnp.broadcast_to(wk, dx.shape)
+        occ = ((occ_word >> bit_idx) & jnp.uint32(1)).astype(jnp.int32)
+        newly = adv * occ
+        newly_f = newly.astype(dx.dtype)
+        hit_dim = hit_dim * (1 - newly) + (1 - take_i) * newly
+        dist = dist * (1.0 - newly_f) + cross * newly_f
+        hit = jnp.maximum(hit, occ)
         return map_i, map_j, side_i, side_j, hit, hit_dim, dist
 
     map_i, map_j, side_i, side_j, hit, hit_dim, dist = jax.lax.fori_loop(
