@@ -30,6 +30,11 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=512, help="scan length per program run")
     p.add_argument("--reps", type=int, default=4, help="timed program executions")
     p.add_argument("--obs", type=str, default="camera_u32")
+    p.add_argument("--game", type=str, default="single_room",
+                   choices=["single_room", "random_room", "maze"])
+    p.add_argument("--map-h", type=int, default=0, help="override map height")
+    p.add_argument("--map-w", type=int, default=0, help="override map width")
+    p.add_argument("--flood-iters", type=int, default=-1, help="random_room reachability budget")
     p.add_argument("--raycast", type=str, default="scan", help="scan|analytic|pallas")
     p.add_argument("--backend", type=str, default="", help="override jax_platforms")
     args = p.parse_args()
@@ -40,13 +45,35 @@ def main() -> None:
     import raycastworlds_tpu as rcw
     from raycastworlds_tpu.parallel.rollout import steps_per_second_program
 
-    cfg = rcw.EnvConfig(
+    kw = dict(
         num_rays=args.num_rays,
         height_camera_view_pu=args.height_px,
         obs_type=args.obs,
         raycast_backend=args.raycast,
     )
-    env = rcw.Env(rcw.SingleRoom(cfg), num_envs=args.num_envs, jit=False)
+    if args.game == "single_room":
+        if args.map_h:
+            kw.update(height_tile_map_tu=args.map_h)
+        if args.map_w:
+            kw.update(width_tile_map_tu=args.map_w)
+        cfg = rcw.EnvConfig(**kw)
+        game = rcw.SingleRoom(cfg)
+    elif args.game == "random_room":
+        cfg = rcw.RandomRoomConfig(
+            height_tile_map_tu=args.map_h or 16,
+            width_tile_map_tu=args.map_w or 16,
+            flood_iters=args.flood_iters,
+            **kw,
+        )
+        game = rcw.RandomRoom(cfg)
+    else:
+        cfg = rcw.MazeConfig(
+            height_tile_map_tu=args.map_h or 17,
+            width_tile_map_tu=args.map_w or 17,
+            **kw,
+        )
+        game = rcw.Maze(cfg)
+    env = rcw.Env(game, num_envs=args.num_envs, jit=False)
 
     state, _ = jax.jit(env._reset_impl)(jax.random.PRNGKey(0))
     run = jax.jit(steps_per_second_program(env, args.steps), donate_argnums=(0,))
@@ -77,6 +104,7 @@ def main() -> None:
         "unit": "steps/s",
         "vs_baseline": round(best / 1e7, 4),
         "config": {
+            "game": args.game,
             "num_envs": args.num_envs,
             "num_rays": args.num_rays,
             "height_px": args.height_px,

@@ -1,0 +1,80 @@
+"""End-to-end training throughput: PPO learner in the loop (BASELINE
+config 5 shape, single host).
+
+Measures env-steps/s through the FULL train step — on-device rollout with
+policy inference per step, GAE, clipped PPO epochs — i.e. what an RL user
+actually sustains, not just the env.  Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--num-envs", type=int, default=2048)
+    p.add_argument("--rollout-steps", type=int, default=64)
+    p.add_argument("--updates", type=int, default=8, help="timed updates")
+    p.add_argument("--num-rays", type=int, default=64)
+    p.add_argument("--height-px", type=int, default=64)
+    p.add_argument("--obs", type=str, default="camera_gray")
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--mesh", action="store_true")
+    p.add_argument("--backend", type=str, default="")
+    args = p.parse_args()
+
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
+
+    import raycastworlds_tpu as rcw
+    from raycastworlds_tpu.parallel import mesh as mesh_lib
+    from raycastworlds_tpu.parallel.ppo import PPOConfig, PPOTrainer
+
+    cfg = rcw.EnvConfig(
+        num_rays=args.num_rays,
+        height_camera_view_pu=args.height_px,
+        obs_type=args.obs,
+    )
+    env = rcw.Env(rcw.SingleRoom(cfg), num_envs=args.num_envs, jit=False)
+    trainer = PPOTrainer(
+        env,
+        PPOConfig(rollout_steps=args.rollout_steps),
+        mesh=mesh_lib.make_mesh() if args.mesh else None,
+        hidden=args.hidden,
+    )
+    ts = trainer.init(jax.random.PRNGKey(0))
+    ts, metrics = trainer.train_step(ts)  # compile
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.updates):
+        ts, metrics = trainer.train_step(ts)
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    steps = args.num_envs * args.rollout_steps * args.updates
+    sps = steps / dt
+    print(json.dumps({
+        "metric": "ppo_env_steps_per_sec",
+        "value": round(sps, 1),
+        "unit": "steps/s (through full PPO train step)",
+        "vs_baseline": round(sps / 1e7, 4),
+        "config": {
+            "num_envs": args.num_envs,
+            "rollout_steps": args.rollout_steps,
+            "obs": args.obs,
+            "hidden": args.hidden,
+            "device": str(jax.devices()[0]),
+            "n_devices": len(jax.devices()) if args.mesh else 1,
+        },
+        "seconds": round(dt, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

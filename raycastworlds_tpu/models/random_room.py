@@ -27,6 +27,17 @@ class RandomRoomConfig(EnvConfig):
     """EnvConfig + obstacle density (fraction of interior tiles walled)."""
 
     wall_density: float = 0.2
+    # Flood-fill iteration budget for the reachability mask.  <=0 means the
+    # worst-case bound H*W/2 (any path).  Auto-reset recomputes the fill
+    # every step, so this is the family's dominant cost at scale; a budget
+    # of ~2*(H+W) covers all but serpentine paths, and under-iteration only
+    # SHRINKS the spawn set (spawns stay reachable) — it never breaks the
+    # reachability guarantee.
+    flood_iters: int = -1
+    # Disable the reachability mask entirely (spawn on any empty tile;
+    # unreachable goals become possible — episodes then only end by caller
+    # truncation).  For maximum-throughput workloads.
+    ensure_reachable: bool = True
 
     def __post_init__(self):
         super().__post_init__()
@@ -67,7 +78,11 @@ class RandomRoom(Game):
         wall_map = wall_map.at[goal_tu[0], goal_tu[1]].set(False)
 
         # spawn only where the goal is reachable (and not on the goal)
-        reachable = flood.flood_fill(~wall_map, goal_tu)
+        if cfg.ensure_reachable:
+            iters = cfg.flood_iters if cfg.flood_iters > 0 else None
+            reachable = flood.flood_fill(~wall_map, goal_tu, iters)
+        else:
+            reachable = ~wall_map
         goal_mask = (ii == goal_tu[0]) & (jj == goal_tu[1])
         valid = reachable & ~goal_mask
         sampled = sampling.sample_empty_tile(k_spawn, ~valid)
