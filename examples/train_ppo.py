@@ -28,6 +28,7 @@ def main():
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-episode-steps", type=int, default=0)
     p.add_argument("--mesh", action="store_true",
                    help="shard over all local devices (dp)")
     p.add_argument("--backend", type=str, default="")
@@ -41,7 +42,7 @@ def main():
     from raycastworlds_tpu.parallel.ppo import PPOConfig, PPOTrainer
 
     kw = dict(num_rays=args.num_rays, height_camera_view_pu=args.height_px,
-              obs_type=args.obs)
+              obs_type=args.obs, max_episode_steps=args.max_episode_steps)
     if args.game == "single_room":
         game = rcw.SingleRoom(rcw.EnvConfig(**kw))
     elif args.game == "random_room":

@@ -87,6 +87,11 @@ class EnvConfig:
     # Unroll factor for the scan DDA (TPU: higher amortizes loop overhead;
     # CPU tests keep 1 for fast compiles).
     dda_unroll: int = 1
+    # Episode time limit: > 0 enables truncation — envs reaching this many
+    # steps are auto-reset (reported via StepResult.done and info["truncated"];
+    # the goal-termination flag stays in info["terminated"]).  0 = unlimited,
+    # the reference's behavior (episodes only end on goal contact).
+    max_episode_steps: int = 0
     # Stop the DDA while-loop once all rays have hit (identical results but
     # measured SLOWER on v5e — the while_loop blocks XLA pipelining and adds
     # a cross-batch reduce per iteration; kept as an option for sparse

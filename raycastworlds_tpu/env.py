@@ -112,19 +112,32 @@ class Env:
 
     def _step_impl(self, state: EnvState, action: jax.Array) -> StepResult:
         stepped = jax.vmap(self.game.step_single)(state, action)
+        terminated = stepped.done
+        if self.cfg.max_episode_steps > 0:
+            truncated = ~terminated & (
+                stepped.t >= self.cfg.max_episode_steps
+            )
+        else:
+            truncated = jnp.zeros_like(terminated)
+        ep_end = terminated | truncated
         info = {
             "terminal_t": stepped.t,
             "episode_return": stepped.episode_return,
+            "terminated": terminated,
+            "truncated": truncated,
         }
         if self.auto_reset:
             fresh = jax.vmap(self.game.reset_single)(stepped.rng_key)
-            nxt = _select(stepped.done, fresh, stepped)
-            # reward/done of the terminating transition survive the reset
-            nxt = nxt.replace(reward=stepped.reward, done=stepped.done)
+            nxt = _select(ep_end, fresh, stepped)
+            # reward/done of the ending transition survive the reset;
+            # StepResult.done marks the episode boundary (terminated OR
+            # truncated) so GAE-style consumers never bootstrap across
+            # episodes.
+            nxt = nxt.replace(reward=stepped.reward, done=ep_end)
         else:
-            nxt = stepped
+            nxt = stepped.replace(done=ep_end)
         obs = self.game.observe_batch(nxt)
-        return StepResult(nxt, obs, stepped.reward, stepped.done, info)
+        return StepResult(nxt, obs, stepped.reward, ep_end, info)
 
     # -- public ---------------------------------------------------------
 
@@ -139,11 +152,19 @@ class Env:
             key, (self.num_envs,), 0, self.game.num_actions, dtype=jnp.int32
         )
 
+    @functools.cached_property
+    def _top_view_fn(self):
+        return jax.jit(jax.vmap(self.game.top_view_single))
+
+    @functools.cached_property
+    def _camera_view_fn(self):
+        return jax.jit(jax.vmap(self.game.camera_view_single))
+
     def top_view(self, state: EnvState) -> jax.Array:
         """Batched uint32 top views (debug rendering; reference
         ``update_top_view!``)."""
-        return jax.jit(jax.vmap(self.game.top_view_single))(state)
+        return self._top_view_fn(state)
 
     def camera_view(self, state: EnvState) -> jax.Array:
         """Batched uint32 camera views regardless of obs_type."""
-        return jax.jit(jax.vmap(self.game.camera_view_single))(state)
+        return self._camera_view_fn(state)

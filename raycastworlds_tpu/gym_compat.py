@@ -53,8 +53,8 @@ class GymAdapter:
         self._state = res.state
         obs = np.asarray(res.obs[0])
         reward = float(res.reward[0])
-        terminated = bool(res.done[0])
-        truncated = (
+        terminated = bool(res.info["terminated"][0])
+        truncated = bool(res.info["truncated"][0]) or (
             self._max_steps is not None
             and int(res.state.t[0]) >= self._max_steps
             and not terminated

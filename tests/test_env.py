@@ -145,3 +145,30 @@ def test_camera_view_colors_are_palette():
     }
     got = set(np.unique(np.asarray(obs)).tolist())
     assert got <= palette, got
+
+
+def test_truncation_auto_resets():
+    cfg = rcw.EnvConfig(
+        num_rays=16, height_camera_view_pu=16, max_episode_steps=5
+    )
+    env = rcw.Env(rcw.SingleRoom(cfg), num_envs=4)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    # force pure turning so no goal termination happens
+    for t in range(5):
+        res = env.step(state, jnp.full(4, TURN_LEFT, jnp.int32))
+        state = res.state
+    # the 5th step hits the limit: done via truncation, no reward
+    assert np.asarray(res.done).all()
+    np.testing.assert_array_equal(np.asarray(res.reward), 0.0)
+    assert np.asarray(res.info["truncated"]).all()
+    assert not np.asarray(res.info["terminated"]).any()
+    # auto-reset happened: fresh episodes
+    np.testing.assert_array_equal(np.asarray(res.state.t), 0)
+    # and without the limit, no truncation occurs
+    cfg2 = rcw.EnvConfig(num_rays=16, height_camera_view_pu=16)
+    env2 = rcw.Env(rcw.SingleRoom(cfg2), num_envs=4)
+    s2, _ = env2.reset(jax.random.PRNGKey(0))
+    for t in range(6):
+        r2 = env2.step(s2, jnp.full(4, TURN_LEFT, jnp.int32))
+        s2 = r2.state
+    assert not np.asarray(r2.done).any()
