@@ -21,8 +21,6 @@ throughput matters more than bitwise reproducibility.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import colors
-from ..config import EnvConfig, WALL, GOAL
+from ..config import EnvConfig
 from .raycast import RayHits
 from .units import wu_to_pu
 

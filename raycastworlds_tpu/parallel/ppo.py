@@ -11,7 +11,6 @@ tensor-parallel along ``mp``.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -25,7 +24,7 @@ from ..config import EnvConfig
 from ..env import Env
 from ..state import EnvState
 from . import mesh as mesh_lib
-from .rollout import Trajectory, rollout_policy
+from .rollout import rollout_policy
 
 
 # ---------------------------------------------------------------------------
@@ -49,6 +48,11 @@ def preprocess_obs(cfg: EnvConfig, obs: jax.Array) -> jax.Array:
         return obs.astype(jnp.float32)
     if cfg.obs_type == "tile_grid":
         return obs.reshape(obs.shape[:-2] + (-1,)).astype(jnp.float32)
+    if cfg.obs_type in ("top_u32", "top_rgb"):
+        raise ValueError(
+            "top views are debug renders; train on a camera_* / depth / "
+            "tile_grid observation instead"
+        )
     raise ValueError(cfg.obs_type)
 
 
@@ -245,12 +249,7 @@ class PPOTrainer:
         p_sh = param_shardings(ts.params, mesh)
         params = jax.tree_util.tree_map(jax.device_put, ts.params, p_sh)
         opt_state = jax.tree_util.tree_map(
-            lambda x: jax.device_put(
-                x,
-                NamedSharding(mesh, P())
-                if not hasattr(x, "ndim") or x.ndim == 0
-                else NamedSharding(mesh, P()),
-            ),
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())),
             ts.opt_state,
         )
         env_state = mesh_lib.shard_env_state(ts.env_state, mesh)

@@ -10,10 +10,8 @@ interior tile, heading in range).
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
-import jax
-import jax.numpy as jnp
 from jax.experimental import checkify
 
 from ..config import EnvConfig
