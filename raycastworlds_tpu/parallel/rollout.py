@@ -89,12 +89,19 @@ def steps_per_second_program(env: Env, num_steps: int):
     produced (not DCE'd) but never leave the device."""
 
     def run(state: EnvState, key: jax.Array):
-        def body(carry, _):
-            state, key, acc = carry
-            key, k_act = jax.random.split(key)
-            a = jax.random.randint(
-                k_act, (env.num_envs,), 0, env.game.num_actions, dtype=jnp.int32
-            )
+        # All T*B actions drawn in ONE threefry call and fed as scan inputs —
+        # per-step key splitting/sampling inside the loop adds small kernels
+        # to every iteration for no benefit (uniform policy).
+        actions = jax.random.randint(
+            key,
+            (num_steps, env.num_envs),
+            0,
+            env.game.num_actions,
+            dtype=jnp.int32,
+        )
+
+        def body(carry, a):
+            state, acc = carry
             res = env._step_impl(state, a)
             obs = res.obs
             if obs.dtype == jnp.uint32:
@@ -102,10 +109,10 @@ def steps_per_second_program(env: Env, num_steps: int):
             else:
                 chk = jnp.sum(obs.astype(jnp.float32))
             acc = acc + chk + jnp.sum(res.reward)
-            return (res.state, key, acc), None
+            return (res.state, acc), None
 
-        (state, _, acc), _ = jax.lax.scan(
-            body, (state, key, jnp.float32(0)), None, length=num_steps
+        (state, acc), _ = jax.lax.scan(
+            body, (state, jnp.float32(0)), actions
         )
         return state, acc
 
