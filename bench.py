@@ -34,6 +34,7 @@ def main() -> None:
     p.add_argument("--map-h", type=int, default=0, help="override map height")
     p.add_argument("--map-w", type=int, default=0, help="override map width")
     p.add_argument("--flood-iters", type=int, default=-1, help="random_room reachability budget")
+    p.add_argument("--reset-budget", type=int, default=0, help="budgeted auto-reset (0 = dense)")
     p.add_argument("--raycast", type=str, default="scan", help="scan|analytic|pallas")
     p.add_argument("--backend", type=str, default="", help="override jax_platforms")
     args = p.parse_args()
@@ -72,7 +73,7 @@ def main() -> None:
             **kw,
         )
         game = rcw.Maze(cfg)
-    env = rcw.Env(game, num_envs=args.num_envs, jit=False)
+    env = rcw.Env(game, num_envs=args.num_envs, jit=False, reset_budget=args.reset_budget)
 
     state, _ = jax.jit(env._reset_impl)(jax.random.PRNGKey(0))
     run = jax.jit(steps_per_second_program(env, args.steps), donate_argnums=(0,))
@@ -109,6 +110,7 @@ def main() -> None:
             "height_px": args.height_px,
             "obs": args.obs,
             "scan_steps": args.steps,
+            "reset_budget": args.reset_budget,
             "device": str(jax.devices()[0]),
             "raycast_backend": cfg.raycast_backend,
         },

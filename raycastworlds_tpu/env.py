@@ -68,11 +68,24 @@ class Env:
         auto_reset: bool = True,
         jit: bool = True,
         donate: bool = False,
+        reset_budget: int = 0,
     ):
+        """``reset_budget > 0`` enables *budgeted* auto-reset: at most that
+        many envs are re-initialized per step (a gather/reset-K/scatter
+        instead of computing a fresh reset for the whole batch — the dense
+        reset dominates step cost for families with expensive generators
+        like RandomRoom).  Envs that finish beyond the budget freeze (state
+        unchanged, reward 0, done False) until a later step's budget reaches
+        them; their episode end was already reported, so consumers see
+        padding frames, not duplicated episodes.  Size the budget at a few
+        times the expected terminations per step (B / typical episode
+        length) and the overflow probability is negligible.
+        """
         self.game = game
         self.cfg = game.cfg
         self.num_envs = num_envs
         self.auto_reset = auto_reset
+        self.reset_budget = min(reset_budget, num_envs)
         self._reset = jax.jit(self._reset_impl) if jit else self._reset_impl
         # donate=True reuses the state buffers across steps (use in step-wise
         # drivers; leave off if the previous state is read after stepping).
@@ -112,9 +125,16 @@ class Env:
 
     def _step_impl(self, state: EnvState, action: jax.Array) -> StepResult:
         stepped = jax.vmap(self.game.step_single)(state, action)
+        # Envs awaiting a budgeted reset are frozen: their step is discarded.
+        frozen = state.pending_reset
+        stepped = _select(frozen, state, stepped)
+        stepped = stepped.replace(
+            reward=jnp.where(frozen, 0.0, stepped.reward),
+            done=jnp.where(frozen, False, stepped.done),
+        )
         terminated = stepped.done
         if self.cfg.max_episode_steps > 0:
-            truncated = ~terminated & (
+            truncated = ~terminated & ~frozen & (
                 stepped.t >= self.cfg.max_episode_steps
             )
         else:
@@ -126,7 +146,12 @@ class Env:
             "terminated": terminated,
             "truncated": truncated,
         }
-        if self.auto_reset:
+        if not self.auto_reset:
+            nxt = stepped.replace(done=ep_end)
+        elif self.reset_budget > 0:
+            nxt = self._budgeted_reset(stepped, frozen | ep_end)
+            nxt = nxt.replace(reward=stepped.reward, done=ep_end)
+        else:
             fresh = jax.vmap(self.game.reset_single)(stepped.rng_key)
             nxt = _select(ep_end, fresh, stepped)
             # reward/done of the ending transition survive the reset;
@@ -134,10 +159,28 @@ class Env:
             # truncated) so GAE-style consumers never bootstrap across
             # episodes.
             nxt = nxt.replace(reward=stepped.reward, done=ep_end)
-        else:
-            nxt = stepped.replace(done=ep_end)
         obs = self.game.observe_batch(nxt)
         return StepResult(nxt, obs, stepped.reward, ep_end, info)
+
+    def _budgeted_reset(self, stepped: EnvState, needs: jax.Array) -> EnvState:
+        """Reset at most ``reset_budget`` of the envs flagged in ``needs``;
+        the rest keep ``pending_reset`` set and stay frozen."""
+        k = self.reset_budget
+        score = needs.astype(jnp.int32)
+        vals, idx = jax.lax.top_k(score, k)  # k distinct indices, needy first
+        valid = vals > 0
+
+        keys = stepped.rng_key[idx]  # [k, 2]
+        fresh = jax.vmap(self.game.reset_single)(keys)
+
+        def scatter(leaf, fresh_leaf):
+            cur = leaf[idx]
+            v = valid.reshape(valid.shape + (1,) * (cur.ndim - 1))
+            return leaf.at[idx].set(jnp.where(v, fresh_leaf, cur))
+
+        nxt = jax.tree_util.tree_map(scatter, stepped, fresh)
+        pending = needs.at[idx].set(needs[idx] & ~valid)
+        return nxt.replace(pending_reset=pending)
 
     # -- public ---------------------------------------------------------
 

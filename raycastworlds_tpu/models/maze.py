@@ -117,6 +117,7 @@ class Maze(Game):
             rng_key=next_key,
             t=jnp.int32(0),
             episode_return=zero,
+            pending_reset=jnp.asarray(False),
         )
 
 

@@ -112,6 +112,7 @@ class RandomRoom(Game):
             rng_key=next_key,
             t=jnp.int32(0),
             episode_return=zero,
+            pending_reset=jnp.asarray(False),
         )
 
 

@@ -58,6 +58,7 @@ class SingleRoom(Game):
             rng_key=next_key,
             t=jnp.int32(0),
             episode_return=zero,
+            pending_reset=jnp.asarray(False),
         )
 
 

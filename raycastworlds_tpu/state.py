@@ -36,6 +36,9 @@ class EnvState:
     Extra (for metrics / auto-reset; no reference equivalent):
       t               int32    steps taken in the current episode
       episode_return  float32  accumulated reward this episode
+      pending_reset   bool     episode ended but the env awaits its reset
+                               slot (only used under Env(reset_budget=K);
+                               always False in dense-reset mode)
     """
 
     wall_map: jax.Array
@@ -47,6 +50,7 @@ class EnvState:
     rng_key: jax.Array
     t: jax.Array
     episode_return: jax.Array
+    pending_reset: jax.Array
 
     @property
     def batch_shape(self):
