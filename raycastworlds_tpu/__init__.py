@@ -29,6 +29,7 @@ from .models.single_room import SingleRoom
 from .models.random_room import RandomRoom, RandomRoomConfig
 from .models.maze import Maze, MazeConfig
 from .gym_compat import GymAdapter
+from .wrappers import FrameStack, ObsTransform
 from . import colors
 
 __version__ = "0.1.0"
@@ -45,6 +46,8 @@ __all__ = [
     "Maze",
     "MazeConfig",
     "GymAdapter",
+    "FrameStack",
+    "ObsTransform",
     "tile_map",
     "colors",
     "NUM_ACTIONS",

@@ -1,0 +1,82 @@
+"""Property-based fuzzing: DDA vs the scalar oracle over random maps/poses,
+and the bit-packed lookup vs dense indexing (hypothesis)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from raycastworlds_tpu.ops import bitmap, raycast
+
+
+def _dda_scalar(obstacle, px, py, dx, dy, max_steps):
+    """Independent scalar Lodev DDA (mirrors oracle.cast_one)."""
+    import math
+
+    px, py, dx, dy = np.float32(px), np.float32(py), np.float32(dx), np.float32(dy)
+    mi, mj = int(math.floor(px)), int(math.floor(py))
+    di = np.float32(abs(np.float32(1.0) / dx)) if dx != 0 else np.float32(np.inf)
+    dj = np.float32(abs(np.float32(1.0) / dy)) if dy != 0 else np.float32(np.inf)
+    si = np.float32(((px - np.float32(math.floor(px))) if dx < 0 else (np.float32(1.0) - (px - np.float32(math.floor(px))))) * di)
+    sj = np.float32(((py - np.float32(math.floor(py))) if dy < 0 else (np.float32(1.0) - (py - np.float32(math.floor(py))))) * dj)
+    sti, stj = (-1 if dx < 0 else 1), (-1 if dy < 0 else 1)
+    h, w = obstacle.shape
+    dist, dim, hit = np.float32(np.finfo(np.float32).max), 1, False
+    for _ in range(max_steps):
+        if si < sj:
+            d, si, mi, dim = si, np.float32(si + di), mi + sti, 0
+        else:
+            d, sj, mj, dim = sj, np.float32(sj + dj), mj + stj, 1
+        ci, cj = min(max(mi, 0), h - 1), min(max(mj, 0), w - 1)
+        if obstacle[ci, cj]:
+            return mi, mj, dim, np.float32(d)
+    return mi, mj, dim, dist
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    h=st.integers(4, 12),
+    w=st.integers(4, 12),
+    density=st.floats(0.0, 0.4),
+    angle=st.floats(0.0, 6.28318),
+)
+def test_dda_matches_scalar_on_random_maps(seed, h, w, density, angle):
+    rng = np.random.RandomState(seed)
+    obstacle = rng.rand(h, w) < density
+    obstacle[0, :] = obstacle[-1, :] = True
+    obstacle[:, 0] = obstacle[:, -1] = True
+    # random interior, non-obstacle origin at a non-integer position
+    empties = np.argwhere(~obstacle)
+    if len(empties) == 0:
+        return
+    oi, oj = empties[rng.randint(len(empties))]
+    px = np.float32(oi + 0.25 + 0.5 * rng.rand())
+    py = np.float32(oj + 0.25 + 0.5 * rng.rand())
+    d = np.array([np.cos(angle), np.sin(angle)], np.float32)
+    d /= np.float32(np.sqrt(np.float32(d[0] * d[0] + d[1] * d[1])))
+
+    steps = h + w
+    words = bitmap.pack_bits(jnp.asarray(obstacle))
+    hit_tu, hit_dim, dist = jax.jit(
+        lambda wds, p, dd: raycast.cast_rays_scan(
+            wds, (h, w), p, dd, steps
+        )
+    )(words, jnp.asarray([px, py]), jnp.asarray(d)[None, :])
+
+    smi, smj, sdim, sdist = _dda_scalar(obstacle, px, py, d[0], d[1], steps)
+    assert int(hit_tu[0, 0]) == smi
+    assert int(hit_tu[0, 1]) == smj
+    assert int(hit_dim[0]) == sdim
+    assert float(dist[0]) == float(sdist)
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 10_000), h=st.integers(1, 20), w=st.integers(1, 40))
+def test_packed_lookup_fuzz(seed, h, w):
+    rng = np.random.RandomState(seed)
+    m = rng.rand(h, w) < rng.rand()
+    words = bitmap.pack_bits(jnp.asarray(m))
+    idx = jnp.asarray(rng.randint(0, h * w, size=(17,)), jnp.int32)
+    got = np.asarray(bitmap.lookup_bit(words, idx))
+    np.testing.assert_array_equal(got, m.reshape(-1)[np.asarray(idx)])
