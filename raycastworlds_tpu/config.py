@@ -216,6 +216,14 @@ class EnvConfig:
         m[:, 0] = m[:, -1] = True
         return m
 
+    @functools.cached_property
+    def border_wall_words(self) -> np.ndarray:
+        """Bit-packed ``border_wall_map`` (uint32[ceil(H*W/32)]), host-packed
+        once so resets embed it as a compile-time constant."""
+        from .ops.bitmap import pack_bits_np
+
+        return pack_bits_np(self.border_wall_map)
+
 
 def replace(cfg: EnvConfig, **kw: Any) -> EnvConfig:
     return dataclasses.replace(cfg, **kw)

@@ -65,9 +65,8 @@ class Game:
         hit_goal = moving & collision.is_colliding_with_goal(
             cand, state.goal_tu, r
         )
-        wall_words = bitmap.pack_bits(state.wall_map)
         hit_wall = moving & collision.is_player_colliding_packed(
-            wall_words, (cfg.H, cfg.W), cand, r
+            state.wall_words, (cfg.H, cfg.W), cand, r
         )
 
         reward = jnp.where(
@@ -97,7 +96,7 @@ class Game:
         object channels (ref :209) — walls plus the goal bit, OR-ed in
         arithmetically (no scatter)."""
         cfg = self.cfg
-        wall_words = bitmap.pack_bits(state.wall_map)
+        wall_words = state.wall_words
         gidx = state.goal_tu[0] * cfg.W + state.goal_tu[1]
         nw = wall_words.shape[-1]
         goal_vec = jnp.where(
@@ -134,12 +133,11 @@ class Game:
         self, state: EnvState, hits: raycast.RayHits
     ) -> jax.Array:
         cfg = self.cfg
-        wall_words = bitmap.pack_bits(state.wall_map)
         player_dir = lut.take_rows(
             jnp.asarray(cfg.directions_wu, state.pos_wu.dtype), state.dir_au
         )
         return render.render_observation(
-            cfg, state.wall_map, wall_words, state.goal_tu, player_dir, hits
+            cfg, state.wall_words, state.goal_tu, player_dir, hits
         )
 
     def observe_single(self, state: EnvState) -> jax.Array:
@@ -159,7 +157,7 @@ class Game:
 
     def _packed_maps_batch(self, state: EnvState):
         cfg = self.cfg
-        wall_words = jax.vmap(bitmap.pack_bits)(state.wall_map)
+        wall_words = state.wall_words
         gidx = state.goal_tu[:, 0] * cfg.W + state.goal_tu[:, 1]
         nw = wall_words.shape[-1]
         goal_vec = jnp.where(
@@ -228,11 +226,10 @@ class Game:
         ``update_camera_view!``, single_room.jl:374-444)."""
         cfg = self.cfg
         hits = self.cast_single(state)
-        wall_words = bitmap.pack_bits(state.wall_map)
         player_dir = lut.take_rows(
             jnp.asarray(cfg.directions_wu, state.pos_wu.dtype), state.dir_au
         )
-        return render.render_camera_u32(cfg, wall_words, player_dir, hits)
+        return render.render_camera_u32(cfg, state.wall_words, player_dir, hits)
 
     # -- conveniences ---------------------------------------------------
 

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import EnvConfig
-from ..ops import sampling
+from ..ops import bitmap, sampling
 from ..state import EnvState
 from .base import Game
 
@@ -108,7 +108,8 @@ class Maze(Game):
 
         zero = jnp.float32(0)
         return EnvState(
-            wall_map=wall_map,
+            wall_words=bitmap.pack_bits(wall_map),
+            hw=(h, w),
             goal_tu=goal_tu,
             pos_wu=pos_wu,
             dir_au=dir_au,

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import EnvConfig
-from ..ops import flood, sampling
+from ..ops import bitmap, flood, sampling
 from ..state import EnvState
 from .base import Game
 
@@ -103,7 +103,8 @@ class RandomRoom(Game):
 
         zero = jnp.float32(0)
         return EnvState(
-            wall_map=wall_map,
+            wall_words=bitmap.pack_bits(wall_map),
+            hw=(h, w),
             goal_tu=goal_tu,
             pos_wu=pos_wu,
             dir_au=dir_au,

@@ -27,7 +27,7 @@ class SingleRoom(Game):
         cfg = self.cfg
         next_key, k_goal, k_spawn, k_dir = jax.random.split(key, 4)
 
-        wall_map = jnp.asarray(cfg.border_wall_map)
+        wall_words = jnp.asarray(cfg.border_wall_words)
         goal_tu = sampling.sample_interior_tile(k_goal, cfg.H, cfg.W)
         # Spawn: uniform over empty tiles = interior minus the goal.  For the
         # border-walls-only map the k-th empty tile is closed-form (interior
@@ -49,7 +49,8 @@ class SingleRoom(Game):
 
         zero = jnp.float32(0)
         return EnvState(
-            wall_map=wall_map,
+            wall_words=wall_words,
+            hw=(cfg.H, cfg.W),
             goal_tu=goal_tu,
             pos_wu=pos_wu,
             dir_au=dir_au,

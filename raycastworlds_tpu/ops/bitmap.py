@@ -40,6 +40,38 @@ def pack_bits(bool_map: jax.Array) -> jax.Array:
     return jnp.sum(flat * weights, axis=-1).astype(jnp.uint32)
 
 
+def unpack_bits(words: jax.Array, shape) -> jax.Array:
+    """Inverse of :func:`pack_bits`: uint32[..., nw] -> bool[..., H, W].
+
+    Off the hot path (debug/top-view/tile-grid consumers); the step/render
+    path reads the packed words directly via :func:`lookup_bit`.
+    """
+    h, w = shape
+    nw = words.shape[-1]
+    bits = (words[..., :, None] >> jnp.arange(32, dtype=jnp.uint32)) & jnp.uint32(1)
+    flat = bits.reshape(words.shape[:-1] + (nw * 32,))[..., : h * w]
+    return flat.reshape(words.shape[:-1] + (h, w)).astype(jnp.bool_)
+
+
+def pack_bits_np(bool_map) -> "np.ndarray":
+    """Host-side pack (static maps precomputed in configs)."""
+    import numpy as np
+
+    m = np.asarray(bool_map, dtype=bool)
+    h, w = m.shape[-2:]
+    nb = h * w
+    nw = n_words(nb)
+    flat = m.reshape(m.shape[:-2] + (nb,)).astype(np.uint32)
+    pad = nw * 32 - nb
+    if pad:
+        flat = np.concatenate(
+            [flat, np.zeros(m.shape[:-2] + (pad,), np.uint32)], axis=-1
+        )
+    flat = flat.reshape(m.shape[:-2] + (nw, 32))
+    weights = np.uint32(1) << np.arange(32, dtype=np.uint32)
+    return np.sum(flat * weights, axis=-1, dtype=np.uint64).astype(np.uint32)
+
+
 def lookup_bit(words: jax.Array, idx: jax.Array) -> jax.Array:
     """Test bit ``idx`` of packed words.
 

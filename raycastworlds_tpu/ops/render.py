@@ -135,7 +135,6 @@ def u32_to_gray(img: jax.Array) -> jax.Array:
 
 def render_observation(
     cfg: EnvConfig,
-    wall_map: jax.Array,
     wall_words: jax.Array,
     goal_tu: jax.Array,
     player_dir_wu: jax.Array,
@@ -146,8 +145,9 @@ def render_observation(
     if cfg.obs_type == "depth":
         return jnp.flip(projected_depth(player_dir_wu, hits), axis=0)
     if cfg.obs_type == "tile_grid":
-        h, w = wall_map.shape
-        grid = wall_map.astype(jnp.int32)
+        from . import bitmap
+
+        grid = bitmap.unpack_bits(wall_words, (cfg.H, cfg.W)).astype(jnp.int32)
         return grid.at[goal_tu[0], goal_tu[1]].set(2)
     img = render_camera_u32(cfg, wall_words, player_dir_wu, hits)
     if cfg.obs_type == "camera_u32":

@@ -14,7 +14,7 @@ reproducible per-env and independent of batch size / sharding.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,11 @@ class EnvState:
     """Per-env state; all fields unbatched here, batched via vmap.
 
     Reference field mapping (/root/reference/src/single_room.jl:21-40):
-      wall_map  <- tile_map[WALL]       bool[H, W]
+      wall_words <- tile_map[WALL]      uint32[ceil(H*W/32)] bit-packed
+                    (the dense bool[H, W] map is available as the
+                    ``wall_map`` property; the hot path — collision, DDA,
+                    render — consumes only the packed words, so packing
+                    happens exactly once, at reset)
       goal_tu   <- goal_position        int32[2]   (0-indexed tile)
       pos_wu    <- player_position_wu   float32[2]
       dir_au    <- player_direction_au  int32      in [0, num_directions)
@@ -41,7 +45,7 @@ class EnvState:
                                always False in dense-reset mode)
     """
 
-    wall_map: jax.Array
+    wall_words: jax.Array
     goal_tu: jax.Array
     pos_wu: jax.Array
     dir_au: jax.Array
@@ -51,15 +55,32 @@ class EnvState:
     t: jax.Array
     episode_return: jax.Array
     pending_reset: jax.Array
+    # Static map dims (aux data, not a leaf) so the packed words can be
+    # unpacked without an EnvConfig in hand.
+    hw: Tuple[int, int] = struct.field(pytree_node=False, default=None)
 
     @property
     def batch_shape(self):
         return self.dir_au.shape
 
+    @property
+    def wall_map(self) -> jax.Array:
+        """Dense bool[..., H, W] wall map, unpacked on demand (debug /
+        top-view / tile-grid consumers only — never on the step hot path)."""
+        from .ops import bitmap
+
+        return bitmap.unpack_bits(self.wall_words, self.hw)
+
+    def replace_walls(self, wall_map: jax.Array) -> "EnvState":
+        """Return a state with a new dense wall map (re-packed)."""
+        from .ops import bitmap
+
+        return self.replace(wall_words=bitmap.pack_bits(wall_map))
+
 
 def tile_map(state: EnvState) -> jax.Array:
     """Rebuild the reference's [2, H, W] bool tile map (wall, goal channels)."""
-    h, w = state.wall_map.shape[-2:]
+    h, w = state.hw
     gi, gj = state.goal_tu[..., 0], state.goal_tu[..., 1]
     ii = jnp.arange(h)[:, None]
     jj = jnp.arange(w)[None, :]

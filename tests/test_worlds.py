@@ -86,8 +86,7 @@ def test_random_room_autoreset_randomizes_map():
         goal_tu=state.goal_tu.at[0].set(jnp.array([8, 8])),
         pos_wu=state.pos_wu.at[0].set(jnp.array([8.5, 7.8])),
         dir_au=state.dir_au.at[0].set(cfg.num_directions // 4),
-        wall_map=state.wall_map.at[0, 8, 8].set(False).at[0, 8, 7].set(False),
-    )
+    ).replace_walls(state.wall_map.at[0, 8, 8].set(False).at[0, 8, 7].set(False))
     res = env.step(state, jnp.zeros(4, jnp.int32))
     assert bool(res.done[0])
     walls1 = np.asarray(res.state.wall_map[0])
