@@ -7,7 +7,8 @@ style raycast rendering), designed batched, functional and device-resident:
 * ``EnvConfig`` — static config (the reference's constructor kwargs)
 * ``EnvState`` — immutable struct-of-arrays env state pytree
 * ``models``   — world families: SingleRoom (reference parity), RandomRoom,
-  Maze (procedural multi-room)
+  Maze (procedural multi-room), MultiGoalRoom (K collectable goals),
+  DynamicRoom (moving obstacle blocks)
 * ``ops``      — raycast (scan + Pallas DDA), collision, render, sampling
 * ``parallel`` — mesh sharding, on-device rollouts, PPO learner
 * ``oracle``   — NumPy scalar reference implementation for parity tests
@@ -28,6 +29,8 @@ from .state import EnvState, tile_map
 from .models.single_room import SingleRoom
 from .models.random_room import RandomRoom, RandomRoomConfig
 from .models.maze import Maze, MazeConfig
+from .models.multi_goal import MultiGoalRoom, MultiGoalConfig
+from .models.dynamic_room import DynamicRoom, DynamicRoomConfig
 from .gym_compat import GymAdapter
 from .wrappers import FrameStack, ObsTransform
 from . import colors
@@ -45,6 +48,10 @@ __all__ = [
     "RandomRoomConfig",
     "Maze",
     "MazeConfig",
+    "MultiGoalRoom",
+    "MultiGoalConfig",
+    "DynamicRoom",
+    "DynamicRoomConfig",
     "GymAdapter",
     "FrameStack",
     "ObsTransform",

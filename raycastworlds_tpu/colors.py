@@ -25,6 +25,13 @@ GOAL_DIM_I = 0x00800000
 GOAL_DIM_J = 0x00C00000
 GRID_LINE = 0x00CCCCCC
 
+# Moving-obstacle blocks (DynamicRoom; no reference equivalent — the
+# reference palette stops at wall/goal shades).  Blue two-shade pair in the
+# same fake-lighting style as the wall/goal pairs.
+TILE_BLOCK = 0x000000FF
+BLOCK_DIM_I = 0x00000080
+BLOCK_DIM_J = 0x000000C0
+
 
 def u32_to_rgb(img_u32: np.ndarray) -> np.ndarray:
     """Unpack 0x00RRGGBB uint32 image to uint8 [..., 3] RGB."""

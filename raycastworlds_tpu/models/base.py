@@ -51,15 +51,7 @@ class Game:
         """
         cfg = self.cfg
         dtype = state.pos_wu.dtype
-        dir_wu = lut.take_rows(
-            jnp.asarray(cfg.directions_wu, dtype), state.dir_au
-        )
-
-        moving = action < 2
-        sign = jnp.where(action == MOVE_FORWARD, 1.0, -1.0).astype(dtype)
-        cand = state.pos_wu + sign * jnp.asarray(
-            cfg.position_increment_wu, dtype
-        ) * dir_wu
+        moving, cand = self._move_candidate(state, action)
 
         r = cfg.player_radius_wu
         hit_goal = moving & collision.is_colliding_with_goal(
@@ -74,13 +66,7 @@ class Game:
         )
         done = hit_goal
         new_pos = jnp.where(moving & ~hit_goal & ~hit_wall, cand, state.pos_wu)
-
-        turn = jnp.where(
-            action == TURN_LEFT, 1, jnp.where(action == TURN_RIGHT, -1, 0)
-        )
-        new_dir = jnp.mod(
-            state.dir_au + jnp.where(moving, 0, turn), cfg.num_directions
-        )
+        new_dir = self._turned_dir(state, action, moving)
 
         return state.replace(
             pos_wu=new_pos,
@@ -89,6 +75,34 @@ class Game:
             done=done,
             t=state.t + 1,
             episode_return=state.episode_return + reward,
+        )
+
+    # Shared pieces of the step, reused by family overrides (multi-goal,
+    # moving obstacles) so the translate/turn semantics stay identical.
+
+    def _move_candidate(self, state: EnvState, action: jax.Array):
+        """(moving bool, candidate position f32[2]) for one action
+        (ref :153-160)."""
+        cfg = self.cfg
+        dtype = state.pos_wu.dtype
+        dir_wu = lut.take_rows(
+            jnp.asarray(cfg.directions_wu, dtype), state.dir_au
+        )
+        moving = action < 2
+        sign = jnp.where(action == MOVE_FORWARD, 1.0, -1.0).astype(dtype)
+        cand = state.pos_wu + sign * jnp.asarray(
+            cfg.position_increment_wu, dtype
+        ) * dir_wu
+        return moving, cand
+
+    def _turned_dir(self, state: EnvState, action: jax.Array, moving):
+        """New heading after a turn action (ref :179-187)."""
+        cfg = self.cfg
+        turn = jnp.where(
+            action == TURN_LEFT, 1, jnp.where(action == TURN_RIGHT, -1, 0)
+        )
+        return jnp.mod(
+            state.dir_au + jnp.where(moving, 0, turn), cfg.num_directions
         )
 
     def _packed_maps(self, state: EnvState):
@@ -129,6 +143,11 @@ class Game:
             self.cfg, obstacle_words, state.pos_wu, state.dir_au
         )
 
+    def _block_words(self, state: EnvState):
+        """Packed words of dynamic obstacle tiles, or None (DynamicRoom
+        overrides; rendered in their own color pair)."""
+        return None
+
     def observe_from_hits_single(
         self, state: EnvState, hits: raycast.RayHits
     ) -> jax.Array:
@@ -137,7 +156,9 @@ class Game:
             jnp.asarray(cfg.directions_wu, state.pos_wu.dtype), state.dir_au
         )
         return render.render_observation(
-            cfg, state.wall_words, state.goal_tu, player_dir, hits
+            cfg, state.wall_words, state.goal_tu, player_dir, hits,
+            block_words=self._block_words(state),
+            goal_words=state.goal_words,
         )
 
     def observe_single(self, state: EnvState) -> jax.Array:
@@ -212,6 +233,7 @@ class Game:
 
         cfg = self.cfg
         hits = self.cast_single(state)
+        block_words = self._block_words(state)
         return topview.render_top_view(
             cfg,
             state.wall_map,
@@ -219,6 +241,16 @@ class Game:
             state.pos_wu,
             cfg.player_radius_pu,
             hits,
+            goal_map=(
+                None
+                if state.goal_words is None
+                else bitmap.unpack_bits(state.goal_words, (cfg.H, cfg.W))
+            ),
+            block_map=(
+                None
+                if block_words is None
+                else bitmap.unpack_bits(block_words, (cfg.H, cfg.W))
+            ),
         )
 
     def camera_view_single(self, state: EnvState) -> jax.Array:
@@ -229,7 +261,10 @@ class Game:
         player_dir = lut.take_rows(
             jnp.asarray(cfg.directions_wu, state.pos_wu.dtype), state.dir_au
         )
-        return render.render_camera_u32(cfg, state.wall_words, player_dir, hits)
+        return render.render_camera_u32(
+            cfg, state.wall_words, player_dir, hits,
+            block_words=self._block_words(state),
+        )
 
     # -- conveniences ---------------------------------------------------
 

@@ -75,6 +75,46 @@ def is_player_colliding_packed(
     return jnp.any(occupied & hit)
 
 
+def colliding_occupied_words(
+    occupied_words: jax.Array,
+    shape,
+    pos_wu: jax.Array,
+    radius,
+) -> jax.Array:
+    """Packed-words mask of the occupied tiles the player circle overlaps.
+
+    Same 3x3 neighborhood scan as :func:`is_player_colliding_packed`, but
+    instead of reducing to a single bool it returns a uint32[n_words] bitmask
+    of the colliding occupied tiles — consumers can clear exactly those bits
+    (MultiGoalRoom collects every goal the circle touches in one step) or
+    popcount them.  No reference equivalent (the reference's collision scan
+    early-outs on the first hit, collision_detection.jl:30-39).
+    """
+    from . import bitmap
+
+    h, w = shape
+    nw = occupied_words.shape[-1]
+    tile = wu_to_tu(pos_wu)  # i32[2]
+    neigh = tile[None, :] + jnp.asarray(_OFFS, jnp.int32)  # [9, 2]
+    ni = jnp.clip(neigh[:, 0], 0, h - 1)
+    nj = jnp.clip(neigh[:, 1], 0, w - 1)
+    idx = ni * w + nj  # i32[9]
+    occupied = bitmap.lookup_bit(occupied_words, idx)
+    hit = is_colliding_tile(pos_wu[None, :], neigh, radius)
+    active = occupied & hit  # bool[9]
+    # Scatter the 9 hit bits back into word lanes arithmetically (no gather).
+    word_sel = idx[:, None] >> 5 == jnp.arange(nw, dtype=jnp.int32)[None, :]
+    bit = jnp.uint32(1) << (idx & 31).astype(jnp.uint32)
+    contrib = jnp.where(
+        word_sel & active[:, None], bit[:, None], jnp.uint32(0)
+    )  # [9, nw]
+    # The 3x3 neighborhood tiles are distinct, so OR == sum; use bitwise OR
+    # via reduce for clarity.
+    return jax.lax.reduce(
+        contrib, jnp.uint32(0), jax.lax.bitwise_or, dimensions=(0,)
+    )
+
+
 def is_colliding_with_goal(
     pos_wu: jax.Array, goal_tu: jax.Array, radius
 ) -> jax.Array:

@@ -28,21 +28,22 @@ def projected_depth(player_dir_wu: jax.Array, hits: RayHits) -> jax.Array:
 
 
 def column_colors_u32(
-    wall_words: jax.Array, shape, hits: RayHits
+    wall_words: jax.Array, shape, hits: RayHits, block_words=None
 ) -> jax.Array:
     """Per-ray wall-slab color, uint32[R], from a bit-packed wall map.
 
     Ref :417-429: if the hit tile has the WALL bit -> wall shades, else goal
     shades; shade picked by hit-face axis (two shades fake lighting).
+    ``block_words`` (DynamicRoom moving obstacles; no reference equivalent)
+    adds a third two-shade pair checked between wall and goal.
     """
     from . import bitmap
 
     hi = hits.hit_tu[:, 0]
     hj = hits.hit_tu[:, 1]
     h, w = shape
-    is_wall = bitmap.lookup_bit(
-        wall_words, jnp.clip(hi, 0, h - 1) * w + jnp.clip(hj, 0, w - 1)
-    )
+    idx = jnp.clip(hi, 0, h - 1) * w + jnp.clip(hj, 0, w - 1)
+    is_wall = bitmap.lookup_bit(wall_words, idx)
     dim_i = hits.hit_dim == 0
     wall_c = jnp.where(
         dim_i,
@@ -54,7 +55,16 @@ def column_colors_u32(
         jnp.uint32(colors.GOAL_DIM_I),
         jnp.uint32(colors.GOAL_DIM_J),
     )
-    return jnp.where(is_wall, wall_c, goal_c)
+    out = jnp.where(is_wall, wall_c, goal_c)
+    if block_words is not None:
+        is_block = bitmap.lookup_bit(block_words, idx)
+        block_c = jnp.where(
+            dim_i,
+            jnp.uint32(colors.BLOCK_DIM_I),
+            jnp.uint32(colors.BLOCK_DIM_J),
+        )
+        out = jnp.where(is_block & ~is_wall, block_c, out)
+    return out
 
 
 def render_camera_u32(
@@ -62,6 +72,7 @@ def render_camera_u32(
     wall_words: jax.Array,
     player_dir_wu: jax.Array,
     hits: RayHits,
+    block_words=None,
 ) -> jax.Array:
     """uint32[H_pu, num_rays] 0x00RRGGBB camera view for one env.
 
@@ -94,7 +105,9 @@ def render_camera_u32(
     full = h_pu >= hpu - 1
     pad = jnp.where(full, 0, (hpu - h_pu) // 2)  # i32[R]
 
-    slab = column_colors_u32(wall_words, (cfg.H, cfg.W), hits)  # u32[R]
+    slab = column_colors_u32(
+        wall_words, (cfg.H, cfg.W), hits, block_words
+    )  # u32[R]
     # Mirror (:431) by flipping the cheap per-ray vectors BEFORE the [H, R]
     # broadcast — flipping the full image afterwards is a whole-image
     # relayout pass (~20% of step time on v5e for nothing).
@@ -139,6 +152,8 @@ def render_observation(
     goal_tu: jax.Array,
     player_dir_wu: jax.Array,
     hits: RayHits,
+    block_words=None,
+    goal_words=None,
 ) -> jax.Array:
     """Dispatch on cfg.obs_type.  The u32 camera view is the reference's RL
     state (/root/reference/src/single_room.jl:576)."""
@@ -148,8 +163,16 @@ def render_observation(
         from . import bitmap
 
         grid = bitmap.unpack_bits(wall_words, (cfg.H, cfg.W)).astype(jnp.int32)
+        if block_words is not None:
+            grid = jnp.where(
+                bitmap.unpack_bits(block_words, (cfg.H, cfg.W)), 3, grid
+            )
+        if goal_words is not None:
+            return jnp.where(
+                bitmap.unpack_bits(goal_words, (cfg.H, cfg.W)), 2, grid
+            )
         return grid.at[goal_tu[0], goal_tu[1]].set(2)
-    img = render_camera_u32(cfg, wall_words, player_dir_wu, hits)
+    img = render_camera_u32(cfg, wall_words, player_dir_wu, hits, block_words)
     if cfg.obs_type == "camera_u32":
         return img
     if cfg.obs_type == "camera_rgb":

@@ -64,20 +64,33 @@ def bresenham_points(
     return pts, valid
 
 
-def render_tile_blit(cfg: EnvConfig, wall_map: jax.Array, goal_tu: jax.Array) -> jax.Array:
+def render_tile_blit(
+    cfg: EnvConfig,
+    wall_map: jax.Array,
+    goal_tu: jax.Array,
+    goal_map=None,
+    block_map=None,
+) -> jax.Array:
     """Tile rectangles + grid lines (ref draw_tile_map!, :342-372):
     wall=white, goal=red, empty=black (tile_map_colors, :288), 1-px
-    0xCCCCCC border around every tile (:364-367)."""
+    0xCCCCCC border around every tile (:364-367).  ``goal_map`` (dense bool)
+    overrides the single ``goal_tu`` tile (multi-goal family); ``block_map``
+    adds moving obstacles in blue (DynamicRoom)."""
     ppt = cfg.pu_per_tu
     h, w = cfg.H, cfg.W
-    ii = jnp.arange(h)[:, None]
-    jj = jnp.arange(w)[None, :]
-    goal_map = (ii == goal_tu[0]) & (jj == goal_tu[1])
+    if goal_map is None:
+        ii = jnp.arange(h)[:, None]
+        jj = jnp.arange(w)[None, :]
+        goal_map = (ii == goal_tu[0]) & (jj == goal_tu[1])
     tile_color = jnp.where(
         wall_map,
         jnp.uint32(colors.TILE_WALL),
         jnp.where(goal_map, jnp.uint32(colors.TILE_GOAL), jnp.uint32(colors.TILE_EMPTY)),
     )
+    if block_map is not None:
+        tile_color = jnp.where(
+            block_map & ~wall_map, jnp.uint32(colors.TILE_BLOCK), tile_color
+        )
     img = jnp.repeat(jnp.repeat(tile_color, ppt, axis=0), ppt, axis=1)
     pi = jnp.arange(h * ppt) % ppt
     pj = jnp.arange(w * ppt) % ppt
@@ -93,6 +106,8 @@ def render_top_view(
     pos_wu: jax.Array,
     player_radius_pu_hint: int,
     hits: RayHits,
+    goal_map=None,
+    block_map=None,
 ) -> jax.Array:
     """uint32[H*ppt, W*ppt] top view for one env (ref :446-483).
 
@@ -101,7 +116,7 @@ def render_top_view(
     """
     ppt = cfg.pu_per_tu
     hpu, wpu = cfg.top_view_shape
-    img = render_tile_blit(cfg, wall_map, goal_tu)
+    img = render_tile_blit(cfg, wall_map, goal_tu, goal_map, block_map)
 
     # --- ray segments (ref :474-478) ---
     p_px = wu_to_pu(pos_wu, ppt)  # i32[2]

@@ -58,6 +58,14 @@ class EnvState:
     # Static map dims (aux data, not a leaf) so the packed words can be
     # unpacked without an EnvConfig in hand.
     hw: Tuple[int, int] = struct.field(pytree_node=False, default=None)
+    # Optional per-family extensions (None for families that don't use them;
+    # None is an empty pytree node so tree ops stay uniform within a game):
+    #   goal_words  uint32[nw]  bit-packed multi-goal mask (MultiGoalRoom;
+    #               generalizes the single goal_tu tile)
+    #   blocks      int32[K, 3] moving obstacles as (i_tu, j_tu, dir in 0..3)
+    #               (DynamicRoom)
+    goal_words: Any = None
+    blocks: Any = None
 
     @property
     def batch_shape(self):
@@ -80,11 +88,16 @@ class EnvState:
 
 def tile_map(state: EnvState) -> jax.Array:
     """Rebuild the reference's [2, H, W] bool tile map (wall, goal channels)."""
+    from .ops import bitmap
+
     h, w = state.hw
-    gi, gj = state.goal_tu[..., 0], state.goal_tu[..., 1]
-    ii = jnp.arange(h)[:, None]
-    jj = jnp.arange(w)[None, :]
-    goal_map = (ii == gi[..., None, None]) & (jj == gj[..., None, None])
+    if state.goal_words is not None:
+        goal_map = bitmap.unpack_bits(state.goal_words, (h, w))
+    else:
+        gi, gj = state.goal_tu[..., 0], state.goal_tu[..., 1]
+        ii = jnp.arange(h)[:, None]
+        jj = jnp.arange(w)[None, :]
+        goal_map = (ii == gi[..., None, None]) & (jj == gj[..., None, None])
     return jnp.stack([state.wall_map, goal_map], axis=-3)
 
 
