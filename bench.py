@@ -30,7 +30,10 @@ def main() -> None:
     p.add_argument("--reps", type=int, default=4, help="timed program executions")
     p.add_argument("--obs", type=str, default="camera_u32")
     p.add_argument("--game", type=str, default="single_room",
-                   choices=["single_room", "random_room", "maze"])
+                   choices=["single_room", "random_room", "maze",
+                            "multi_goal", "dynamic_room"])
+    p.add_argument("--texture", type=str, default="none",
+                   help="wall texture: none|checker|brick|xor")
     p.add_argument("--map-h", type=int, default=0, help="override map height")
     p.add_argument("--map-w", type=int, default=0, help="override map width")
     p.add_argument("--flood-iters", type=int, default=-1, help="random_room reachability budget")
@@ -50,6 +53,7 @@ def main() -> None:
         height_camera_view_pu=args.height_px,
         obs_type=args.obs,
         raycast_backend=args.raycast,
+        wall_texture=args.texture,
     )
     if args.game == "single_room":
         if args.map_h:
@@ -66,6 +70,22 @@ def main() -> None:
             **kw,
         )
         game = rcw.RandomRoom(cfg)
+    elif args.game == "multi_goal":
+        mk = dict(kw)
+        if args.map_h:
+            mk.update(height_tile_map_tu=args.map_h)
+        if args.map_w:
+            mk.update(width_tile_map_tu=args.map_w)
+        cfg = rcw.MultiGoalConfig(**mk)
+        game = rcw.MultiGoalRoom(cfg)
+    elif args.game == "dynamic_room":
+        dk = dict(kw)
+        if args.map_h:
+            dk.update(height_tile_map_tu=args.map_h)
+        if args.map_w:
+            dk.update(width_tile_map_tu=args.map_w)
+        cfg = rcw.DynamicRoomConfig(**dk)
+        game = rcw.DynamicRoom(cfg)
     else:
         cfg = rcw.MazeConfig(
             height_tile_map_tu=args.map_h or 17,

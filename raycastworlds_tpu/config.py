@@ -97,6 +97,17 @@ class EnvConfig:
     # a cross-batch reduce per iteration; kept as an option for sparse
     # scenes with far-above-typical trip counts).
     dda_early_exit: bool = False
+    # Procedural wall texturing (no reference equivalent — the reference's
+    # walls are flat two-shade colors, single_room.jl:417-429).  Textures are
+    # computed arithmetically from the wall-face hit coordinate — no texture
+    # memory, no gathers, pure VPU work:
+    #   "none"    — flat shading (bit-exact reference parity path)
+    #   "checker" — (u + v) parity checkerboard
+    #   "brick"   — running-bond brick courses with mortar lines
+    #   "xor"     — the classic Wolfenstein XOR gradient pattern
+    wall_texture: str = "none"
+    # Texels per tile edge for the procedural patterns.
+    texture_cells: int = 8
 
     def __post_init__(self):
         if self.height_tile_map_tu < 3 or self.width_tile_map_tu < 3:
@@ -114,6 +125,10 @@ class EnvConfig:
             raise ValueError(f"unknown obs_type: {self.obs_type}")
         if self.raycast_backend not in ("scan", "scan_flat", "analytic", "pallas", "auto"):
             raise ValueError(f"unknown raycast_backend: {self.raycast_backend}")
+        if self.wall_texture not in ("none", "checker", "brick", "xor"):
+            raise ValueError(f"unknown wall_texture: {self.wall_texture}")
+        if self.texture_cells < 2:
+            raise ValueError("texture_cells must be >= 2")
 
     # ------------------------------------------------------------------
     # Derived static quantities

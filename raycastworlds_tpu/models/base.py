@@ -159,6 +159,7 @@ class Game:
             cfg, state.wall_words, state.goal_tu, player_dir, hits,
             block_words=self._block_words(state),
             goal_words=state.goal_words,
+            pos_wu=state.pos_wu,
         )
 
     def observe_single(self, state: EnvState) -> jax.Array:
@@ -264,6 +265,7 @@ class Game:
         return render.render_camera_u32(
             cfg, state.wall_words, player_dir, hits,
             block_words=self._block_words(state),
+            pos_wu=state.pos_wu,
         )
 
     # -- conveniences ---------------------------------------------------

@@ -73,6 +73,7 @@ def render_camera_u32(
     player_dir_wu: jax.Array,
     hits: RayHits,
     block_words=None,
+    pos_wu=None,
 ) -> jax.Array:
     """uint32[H_pu, num_rays] 0x00RRGGBB camera view for one env.
 
@@ -114,16 +115,80 @@ def render_camera_u32(
     pad = jnp.flip(pad, axis=0)
     slab = jnp.flip(slab, axis=0)
     row = jnp.arange(hpu, dtype=jnp.int32)[:, None]  # [H_pu, 1]
+    wall_px = slab[None, :]
+    if cfg.wall_texture != "none":
+        if pos_wu is None:
+            raise ValueError("wall_texture requires pos_wu (the ray origin)")
+        wall_px = _texture_wall(cfg, wall_px, hits, pos_wu, height_line, row)
     img = jnp.where(
         row < pad[None, :],
         jnp.uint32(colors.CEILING),
         jnp.where(
             row >= (hpu - pad)[None, :],
             jnp.uint32(colors.FLOOR),
-            slab[None, :],
+            wall_px,
         ),
     )
     return img
+
+
+def _texture_wall(cfg, wall_px, hits: RayHits, pos_wu, height_line, row):
+    """Procedural per-pixel wall texturing, fully arithmetic (no texture
+    memory, no gathers — the TPU-native answer to texture mapping).
+
+    Texture coordinates follow the classic raycaster scheme: ``u`` is the
+    fractional hit coordinate along the wall face — the non-hit-axis
+    component of ``pos + dist*dir`` minus the hit tile's low edge; ``v`` runs
+    down the *unclipped* projected column so close-up walls magnify
+    correctly.  The pattern modulates the flat two-shade slab color, so texel
+    brightness composes with the reference's fake-lighting face shading.
+    """
+    t = cfg.texture_cells
+    hpu = cfg.height_camera_view_pu
+
+    # u in [0, 1): cross-axis offset of the hit point within the hit tile.
+    take_j = hits.hit_dim == 0  # hit face perpendicular to i => cross axis j
+    dir_cross = jnp.where(take_j, hits.ray_dirs[:, 1], hits.ray_dirs[:, 0])
+    pos_cross = jnp.where(take_j, pos_wu[1], pos_wu[0])
+    tile_cross = jnp.where(
+        take_j, hits.hit_tu[:, 1], hits.hit_tu[:, 0]
+    ).astype(hits.dist_wu.dtype)
+    cross = pos_cross + hits.dist_wu * dir_cross
+    frac_u = jnp.clip(cross - tile_cross, 0.0, 1.0 - 1e-6)
+    ui = jnp.clip((frac_u * t).astype(jnp.int32), 0, t - 1)  # i32[R]
+    ui = jnp.flip(ui, axis=0)  # mirrored like the slab colors
+
+    # v: position down the unclipped column (perspective-correct close up).
+    hl = jnp.flip(height_line, axis=0)  # f32[R] (may be inf)
+    hl = jnp.where(jnp.isfinite(hl), hl, jnp.asarray(float(hpu), hl.dtype))
+    top_true = (hpu - hl) * 0.5  # f32[R], can be negative
+    v = (row.astype(hl.dtype) - top_true[None, :]) / hl[None, :]
+    vi = jnp.clip((v * t).astype(jnp.int32), 0, t - 1)  # i32[H_pu, R]
+
+    if cfg.wall_texture == "checker":
+        bright = ((ui[None, :] + vi) & 1) == 0
+        factor = jnp.where(bright, 1.0, 0.55).astype(jnp.float32)
+    elif cfg.wall_texture == "brick":
+        course_h = max(t // 4, 1)          # brick course height in texels
+        brick_w = max(t // 2, 2)           # brick length in texels
+        course = vi // course_h
+        off = jnp.where((course & 1) == 1, brick_w // 2, 0)
+        mortar = (vi % course_h == 0) | (((ui[None, :] + off) % brick_w) == 0)
+        factor = jnp.where(mortar, 0.45, 1.0).astype(jnp.float32)
+    else:  # "xor"
+        g = (ui[None, :] ^ vi).astype(jnp.float32) / float(max(t - 1, 1))
+        factor = 0.4 + 0.6 * g
+
+    r = ((wall_px >> 16) & 0xFF).astype(jnp.float32) * factor
+    gch = ((wall_px >> 8) & 0xFF).astype(jnp.float32) * factor
+    b = (wall_px & 0xFF).astype(jnp.float32) * factor
+    return (
+        (r.astype(jnp.uint32) << 16)
+        | (gch.astype(jnp.uint32) << 8)
+        | b.astype(jnp.uint32)
+    )
+
+
 
 
 def u32_to_rgb(img: jax.Array) -> jax.Array:
@@ -154,6 +219,7 @@ def render_observation(
     hits: RayHits,
     block_words=None,
     goal_words=None,
+    pos_wu=None,
 ) -> jax.Array:
     """Dispatch on cfg.obs_type.  The u32 camera view is the reference's RL
     state (/root/reference/src/single_room.jl:576)."""
@@ -172,7 +238,9 @@ def render_observation(
                 bitmap.unpack_bits(goal_words, (cfg.H, cfg.W)), 2, grid
             )
         return grid.at[goal_tu[0], goal_tu[1]].set(2)
-    img = render_camera_u32(cfg, wall_words, player_dir_wu, hits, block_words)
+    img = render_camera_u32(
+        cfg, wall_words, player_dir_wu, hits, block_words, pos_wu
+    )
     if cfg.obs_type == "camera_u32":
         return img
     if cfg.obs_type == "camera_rgb":
