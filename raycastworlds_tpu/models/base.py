@@ -120,9 +120,14 @@ class Game:
         )
         return wall_words, wall_words | goal_vec
 
-    # Games whose maps are exactly border-ring + goal (SingleRoom) can use
-    # the closed-form raycaster.
+    # Games whose maps are exactly border-ring + K unit boxes (SingleRoom,
+    # MultiGoalRoom, DynamicRoom) can use the closed-form raycaster:
+    # _analytic_boxes returns the int32[K, 2] box tiles (rows of (-1, -1)
+    # are disabled slots that can never beat the border).
     supports_analytic_raycast: bool = False
+
+    def _analytic_boxes(self, state: EnvState):
+        return state.goal_tu[None, :]
 
     def _use_analytic(self) -> bool:
         return (
@@ -135,8 +140,9 @@ class Game:
         if self._use_analytic():
             from ..ops import raycast_analytic
 
-            return raycast_analytic.cast_rays_analytic(
-                self.cfg, state.goal_tu, state.pos_wu, state.dir_au
+            return raycast_analytic.cast_rays_boxes(
+                self.cfg, self._analytic_boxes(state), state.pos_wu,
+                state.dir_au,
             )
         _, obstacle_words = self._packed_maps(state)
         return raycast.cast_rays(

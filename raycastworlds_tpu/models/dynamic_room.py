@@ -61,6 +61,13 @@ def _blocks_to_words(blocks: jax.Array, shape, nw: int) -> jax.Array:
 
 
 class DynamicRoom(Game):
+    supports_analytic_raycast = True  # border ring + K blocks + 1 goal box
+
+    def _analytic_boxes(self, state: EnvState):
+        return jnp.concatenate(
+            [state.blocks[:, :2], state.goal_tu[None, :]], axis=0
+        )
+
     def __init__(self, cfg: DynamicRoomConfig):
         if not isinstance(cfg, DynamicRoomConfig):
             raise TypeError("DynamicRoom requires a DynamicRoomConfig")

@@ -46,10 +46,15 @@ class MultiGoalConfig(EnvConfig):
 
 
 class MultiGoalRoom(Game):
+    supports_analytic_raycast = True  # border ring + K unit boxes
+
     def __init__(self, cfg: MultiGoalConfig):
         if not isinstance(cfg, MultiGoalConfig):
             raise TypeError("MultiGoalRoom requires a MultiGoalConfig")
         super().__init__(cfg)
+
+    def _analytic_boxes(self, state: EnvState):
+        return state.goal_tiles
 
     def reset_single(self, key: jax.Array) -> EnvState:
         cfg: MultiGoalConfig = self.cfg
@@ -65,13 +70,16 @@ class MultiGoalRoom(Game):
         goal_map = jnp.zeros((h, w), bool)
         gkeys = jax.random.split(k_goals, cfg.num_goals)
         first_goal = None
+        tiles = []
         for k in range(cfg.num_goals):
             g = sampling.sample_empty_tile(gkeys[k], occupied)
             if first_goal is None:
                 first_goal = g
             occupied = occupied.at[g[0], g[1]].set(True)
             goal_map = goal_map.at[g[0], g[1]].set(True)
+            tiles.append(g)
         goal_words = bitmap.pack_bits(goal_map)
+        goal_tiles = jnp.stack(tiles).astype(jnp.int32)  # [K, 2]
 
         spawn_tu = sampling.sample_empty_tile(k_spawn, occupied)
         pos_wu = spawn_tu.astype(jnp.float32) + 0.5
@@ -83,6 +91,7 @@ class MultiGoalRoom(Game):
             hw=(h, w),
             goal_tu=first_goal,
             goal_words=goal_words,
+            goal_tiles=goal_tiles,
             pos_wu=pos_wu,
             dir_au=dir_au,
             reward=zero,
@@ -114,8 +123,19 @@ class MultiGoalRoom(Game):
             new_goal_words = state.goal_words & ~touched
             reward = n_hit.astype(dtype) * jnp.asarray(cfg.goal_reward, dtype)
             done = ~jnp.any(new_goal_words != 0)
+            # keep the tile list in sync: rows whose bit was cleared become
+            # disabled (-1, -1) slots (ignored by the box raycaster)
+            gidx = state.goal_tiles[:, 0] * cfg.W + state.goal_tiles[:, 1]
+            alive = state.goal_tiles[:, 0] >= 0
+            row_touched = alive & bitmap.lookup_bit(
+                touched, jnp.clip(gidx, 0, cfg.H * cfg.W - 1)
+            )
+            new_goal_tiles = jnp.where(
+                row_touched[:, None], jnp.int32(-1), state.goal_tiles
+            )
         else:
             new_goal_words = state.goal_words
+            new_goal_tiles = state.goal_tiles
             reward = jnp.where(
                 hit_goal, jnp.asarray(cfg.goal_reward, dtype),
                 jnp.asarray(0, dtype),
@@ -129,6 +149,7 @@ class MultiGoalRoom(Game):
             pos_wu=new_pos,
             dir_au=new_dir,
             goal_words=new_goal_words,
+            goal_tiles=new_goal_tiles,
             reward=reward,
             done=done,
             t=state.t + 1,

@@ -66,6 +66,10 @@ class EnvState:
     #               (DynamicRoom)
     goal_words: Any = None
     blocks: Any = None
+    #   goal_tiles  int32[K, 2] the goal tiles behind goal_words, with
+    #               collected slots at (-1, -1) (kept in sync so the
+    #               closed-form box raycaster needs no unpack/top-k)
+    goal_tiles: Any = None
 
     @property
     def batch_shape(self):

@@ -229,3 +229,92 @@ def test_config_validation():
         _mg_cfg(num_goals=0)
     with pytest.raises(ValueError):
         _dyn_cfg(block_period=0)
+
+
+def _agree(game_scan, game_ana, key, steps=12):
+    """Analytic box raycaster must agree with the scan DDA on hit tiles and
+    faces (distances to float32 rounding) along a shared trajectory.
+
+    Exception: rays crossing a wall face exactly on a tile gridline are
+    rounding-ambiguous (the one-shot (face-origin)/dir division vs the DDA's
+    accumulated sides can land on either side of the corner); those may
+    differ by one tile along the cross axis at identical distance."""
+    state = game_scan.reset_single(key)
+    k = key
+    for i in range(steps):
+        h_scan = game_scan.cast_single(state)
+        h_ana = game_ana.cast_single(state)
+        ts = np.asarray(h_scan.hit_tu)
+        ta = np.asarray(h_ana.hit_tu)
+        np.testing.assert_array_equal(
+            np.asarray(h_scan.hit_dim), np.asarray(h_ana.hit_dim)
+        )
+        np.testing.assert_allclose(
+            np.asarray(h_scan.dist_wu), np.asarray(h_ana.dist_wu),
+            rtol=2e-6, atol=2e-6,
+        )
+        bad = np.where((ts != ta).any(axis=1))[0]
+        for r in bad:
+            dim = int(h_scan.hit_dim[r])
+            cross = 1 - dim
+            assert ts[r][dim] == ta[r][dim], (r, ts[r], ta[r])
+            assert abs(int(ts[r][cross]) - int(ta[r][cross])) == 1, (
+                r, ts[r], ta[r],
+            )
+            # must be a gridline-coincident crossing
+            c = float(state.pos_wu[cross]) + float(h_scan.dist_wu[r]) * float(
+                h_scan.ray_dirs[r][cross]
+            )
+            assert abs(c - round(c)) < 1e-4, (r, c)
+        k, ka = jax.random.split(k)
+        a = jax.random.randint(ka, (), 0, 4)
+        state = game_scan.step_single(state, a)
+
+
+def test_multigoal_analytic_matches_scan():
+    import dataclasses
+
+    cfg_s = _mg_cfg(num_goals=4, raycast_backend="scan")
+    cfg_a = dataclasses.replace(cfg_s, raycast_backend="analytic")
+    for seed in range(4):
+        _agree(
+            MultiGoalRoom(cfg_s), MultiGoalRoom(cfg_a),
+            jax.random.PRNGKey(seed),
+        )
+
+
+def test_multigoal_analytic_ignores_collected_goals():
+    import dataclasses
+
+    cfg = _mg_cfg(num_goals=2, raycast_backend="analytic")
+    game = MultiGoalRoom(cfg)
+    state = game.reset_single(jax.random.PRNGKey(0))
+    # collect goal 0 by hand: clear its bit and disable its tile row
+    g0 = state.goal_tiles[0]
+    idx = g0[0] * cfg.W + g0[1]
+    cleared = state.goal_words & ~jnp.where(
+        jnp.arange(state.goal_words.shape[0]) == (idx >> 5),
+        jnp.uint32(1) << (idx & 31).astype(jnp.uint32),
+        jnp.uint32(0),
+    )
+    state = state.replace(
+        goal_words=cleared,
+        goal_tiles=state.goal_tiles.at[0].set(jnp.array([-1, -1])),
+    )
+    cfg_s = dataclasses.replace(cfg, raycast_backend="scan")
+    h_ana = game.cast_single(state)
+    h_scan = MultiGoalRoom(cfg_s).cast_single(state)
+    np.testing.assert_array_equal(
+        np.asarray(h_scan.hit_tu), np.asarray(h_ana.hit_tu)
+    )
+
+
+def test_dynamic_analytic_matches_scan():
+    import dataclasses
+
+    cfg_s = _dyn_cfg(num_blocks=3, block_period=2, raycast_backend="scan")
+    cfg_a = dataclasses.replace(cfg_s, raycast_backend="analytic")
+    for seed in range(4):
+        _agree(
+            DynamicRoom(cfg_s), DynamicRoom(cfg_a), jax.random.PRNGKey(seed)
+        )
