@@ -21,6 +21,72 @@ import time
 import jax
 
 
+# Public v5e chip peaks ("How to Scale Your Model" hardware tables):
+# HBM ~819 GB/s; VPU f32 ~ 4 (8,128)-lane ALU sets at ~0.94 GHz ~= 3.9 Top/s.
+# The env step is VPU + HBM work (the MXU only sees the small LUT matmuls),
+# so those two ceilings are the honest roofline for this workload.
+_V5E_HBM_GBPS = 819.0
+_V5E_VPU_TOPS = 3.9
+
+
+def _roofline(cfg, args, sps: float) -> dict:
+    """Lower-bound work model per env-step + % of the binding chip ceiling.
+
+    Counts only the dominant, irreducible terms (DDA march arithmetic, per-
+    pixel render arithmetic, observation-buffer traffic); everything omitted
+    (movement, collision, reset, bookkeeping) only raises the true work, so
+    the reported utilization fractions are upper bounds on headroom left.
+    """
+    r = cfg.num_rays
+    hpu = cfg.height_camera_view_pu
+    h, w = cfg.H, cfg.W
+    nw = (h * w + 31) // 32
+
+    # DDA: ops per lane per iteration (compare/min/4 blended adds/index/
+    # word-select chain/shift-mask/3 hit updates) — ~30 + 2 ops per packed
+    # word in the select chain.
+    if cfg.raycast_backend == "analytic":
+        dda_ops = r * 40.0 * 4  # border + K boxes closed forms
+    else:
+        dda_ops = r * cfg.dda_steps * (30.0 + 2.0 * nw)
+
+    px = hpu * r
+    render_ops = 0.0
+    obs_bytes = 0.0
+    if args.obs.startswith("camera"):
+        per_px = 10.0
+        if cfg.wall_texture != "none":
+            per_px += 25.0
+        if args.obs == "camera_rgb":
+            per_px += 6.0
+            obs_bytes = px * 3.0
+        elif args.obs == "camera_gray":
+            per_px += 8.0
+            obs_bytes = px * 4.0
+        else:
+            obs_bytes = px * 4.0
+        render_ops = px * per_px + r * 30.0
+    elif args.obs == "depth":
+        render_ops = r * 10.0
+        obs_bytes = r * 4.0
+    # checksum consumer reads what the renderer wrote (unless XLA fuses the
+    # two, in which case measured utilization can exceed this bound).
+    hbm_bytes = 2.0 * obs_bytes
+
+    vpu_ops = dda_ops + render_ops
+    bound_vpu = _V5E_VPU_TOPS * 1e12 / max(vpu_ops, 1.0)
+    bound_hbm = _V5E_HBM_GBPS * 1e9 / max(hbm_bytes, 1.0)
+    binding = "vpu" if bound_vpu < bound_hbm else "hbm"
+    return {
+        "vpu_ops_per_step": round(vpu_ops),
+        "hbm_bytes_per_step": round(hbm_bytes),
+        "sps_bound_vpu": round(bound_vpu),
+        "sps_bound_hbm": round(bound_hbm),
+        "binding": binding,
+        "frac_of_roofline": round(sps / min(bound_vpu, bound_hbm), 4),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--num-envs", type=int, default=4096)
@@ -106,23 +172,27 @@ def main() -> None:
     state, acc = run(state, key)
     float(acc)
 
-    best = 0.0
     times = []
     for r in range(args.reps):
         key = jax.random.fold_in(key, r)
         t0 = time.perf_counter()
         state, acc = run(state, key)
         float(acc)
-        dt = time.perf_counter() - t0
-        times.append(dt)
-        sps = args.num_envs * args.steps / dt
-        best = max(best, sps)
+        times.append(time.perf_counter() - t0)
+
+    # Median rep, not best: with a handful of reps on a shared tunnel the
+    # minimum flatters one lucky scheduling window; the median is stable.
+    med = sorted(times)[len(times) // 2]
+    sps = args.num_envs * args.steps / med
+
+    roofline = _roofline(cfg, args, sps)
 
     result = {
         "metric": "env_steps_per_sec",
-        "value": round(best, 1),
+        "value": round(sps, 1),
         "unit": "steps/s",
-        "vs_baseline": round(best / 1e7, 4),
+        "vs_baseline": round(sps / 1e7, 4),
+        "roofline": roofline,
         "config": {
             "game": args.game,
             "num_envs": args.num_envs,

@@ -30,6 +30,7 @@ class GymAdapter:
     def __init__(self, game: Game, max_episode_steps: Optional[int] = None):
         self._env = Env(game, num_envs=1, auto_reset=False)
         self._state = None
+        self._key = jax.random.PRNGKey(0)
         self._max_steps = max_episode_steps
         self.action_space = self._env.action_space
         self.observation_space = self._env.observation_space
@@ -37,11 +38,13 @@ class GymAdapter:
     def reset(
         self, seed: Optional[int] = None, options: Optional[dict] = None
     ) -> Tuple[np.ndarray, Dict[str, Any]]:
-        if seed is None:
-            seed = 0 if self._state is None else int(
-                np.asarray(self._state.rng_key)[0]
-            )
-        self._state, obs = self._env.reset(jax.random.PRNGKey(seed))
+        # Gymnasium contract: an explicit seed re-seeds the stream; seed=None
+        # CONTINUES it (each unseeded reset draws the next episode from the
+        # same PRNG stream rather than replaying episode 0).
+        if seed is not None:
+            self._key = jax.random.PRNGKey(seed)
+        self._key, k_reset = jax.random.split(self._key)
+        self._state, obs = self._env.reset(k_reset)
         return np.asarray(obs[0]), {}
 
     def step(self, action: int):

@@ -166,9 +166,15 @@ def make_policy_fn(net: ActorCritic, cfg: EnvConfig, params):
         x = preprocess_obs(cfg, obs)
         logits, value = net.apply(params, x)
         action = jax.random.categorical(key, logits)
-        log_prob = jax.nn.log_softmax(logits)[
-            jnp.arange(logits.shape[0]), action
-        ]
+        # one-hot contraction instead of fancy indexing: under dp sharding
+        # the row-gather compiles to (small but needless) index all-gathers
+        # plus a scatter-add in the backward pass; the one-hot form is pure
+        # local elementwise+reduce.
+        log_prob = jnp.sum(
+            jax.nn.log_softmax(logits)
+            * jax.nn.one_hot(action, logits.shape[-1]),
+            axis=-1,
+        )
         return action.astype(jnp.int32), log_prob, value
 
     return policy
@@ -184,7 +190,10 @@ def ppo_loss(
     x = preprocess_obs(env_cfg, batch["obs"])
     logits, value = net.apply(params, x)
     log_probs = jax.nn.log_softmax(logits)
-    lp = log_probs[jnp.arange(logits.shape[0]), batch["action"]]
+    lp = jnp.sum(
+        log_probs * jax.nn.one_hot(batch["action"], logits.shape[-1]),
+        axis=-1,
+    )
     ratio = jnp.exp(lp - batch["log_prob"])
     adv = batch["advantage"]
     adv = (adv - adv.mean()) / (adv.std() + 1e-8)
@@ -283,26 +292,52 @@ class PPOTrainer:
             cfg.gamma, cfg.gae_lambda,
         )
 
+        # --- dp-LOCAL minibatch shuffle -------------------------------
+        # A global [T*B] permutation would compile to cross-device gathers
+        # every minibatch under dp sharding (all the rollout data shuffling
+        # over ICI/DCN for nothing).  Instead: split the dp-sharded env axis
+        # into [d, B/d] (shard-local), fold T into the local axis, and
+        # permute along the UNSHARDED local axis with a replicated
+        # permutation — a pure local gather, zero collectives.  Every shard
+        # applies the same permutation to its own (i.i.d.) slice, which is
+        # statistically equivalent to independent per-shard shuffles.
+        d = 1 if self.mesh is None else self.mesh.shape[mesh_lib.DATA_AXIS]
+        t_len, b = traj.action.shape
+        bl = b // d
+
+        def to_local(x):
+            x = x.reshape((t_len, d, bl) + x.shape[2:])
+            x = jnp.moveaxis(x, 1, 0)  # [d, T, bl, ...] — shard-local
+            return x.reshape((d, t_len * bl) + x.shape[3:])
+
         flat = {
-            "obs": traj.obs.reshape((-1,) + traj.obs.shape[2:]),
-            "action": traj.action.reshape(-1),
-            "log_prob": traj.log_prob.reshape(-1),
-            "advantage": adv.reshape(-1),
-            "target": target.reshape(-1),
+            "obs": to_local(traj.obs),
+            "action": to_local(traj.action),
+            "log_prob": to_local(traj.log_prob),
+            "advantage": to_local(adv),
+            "target": to_local(target),
         }
-        n = flat["action"].shape[0]
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
+            flat = {
+                k: jax.lax.with_sharding_constraint(v, sh)
+                for k, v in flat.items()
+            }
+        n = t_len * bl  # per-shard sample count
         mb = n // cfg.num_minibatches
 
         def epoch(carry, _):
             params, opt_state, key = carry
             key, kp = jax.random.split(key)
             perm = jax.random.permutation(kp, n)
-            shuf = {k: v[perm] for k, v in flat.items()}
+            shuf = {k: v[:, perm] for k, v in flat.items()}
 
             def minibatch(carry, i):
                 params, opt_state = carry
                 batch = {
-                    k: jax.lax.dynamic_slice_in_dim(v, i * mb, mb)
+                    k: jax.lax.dynamic_slice_in_dim(
+                        v, i * mb, mb, axis=1
+                    ).reshape((d * mb,) + v.shape[2:])
                     for k, v in shuf.items()
                 }
                 grads, metrics = jax.grad(

@@ -101,3 +101,24 @@ def test_train_step_sharded_dp_mp():
         assert np.isfinite(float(v)), k
     # env state remains dp-sharded after the step
     assert len(ts2.env_state.pos_wu.sharding.device_set) >= 4
+
+
+def test_train_step_hlo_has_no_data_collectives():
+    """The dp-local minibatch shuffle must not move rollout data across
+    devices: the compiled train step may contain all-reduces (gradient and
+    metric psums) but NO all-to-all / all-gather / collective-permute."""
+    cfg = rcw.EnvConfig(
+        num_rays=16, height_camera_view_pu=16, obs_type="camera_gray"
+    )
+    env = rcw.Env(rcw.SingleRoom(cfg), num_envs=16, jit=False)
+    m = mesh_lib.make_mesh(dp=8, mp=1)
+    trainer = PPOTrainer(
+        env,
+        PPOConfig(rollout_steps=4, num_epochs=1, num_minibatches=2),
+        mesh=m,
+        hidden=32,
+    )
+    ts = trainer.init(jax.random.PRNGKey(0))
+    txt = jax.jit(trainer._train_step_impl).lower(ts).compile().as_text()
+    for coll in ("all-to-all", "all-gather", "collective-permute"):
+        assert coll not in txt, f"unexpected {coll} in compiled train step"
