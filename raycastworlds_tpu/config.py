@@ -81,7 +81,10 @@ class EnvConfig:
     #   "scan"     — lax.scan masked DDA (general maps; bit-exact parity path)
     #   "analytic" — closed-form border+goal intersection (SingleRoom-shaped
     #                maps only; fastest; ~1e-6 numerics vs DDA, not bit-exact)
-    #   "pallas"   — fused TPU kernel (same math as scan)
+    #   "pallas"   — Pallas DDA kernel (same math as scan; cast only)
+    #   "fused"    — Pallas DDA + camera-render in ONE kernel (fastest for
+    #                camera observations; bit-identical to scan+render);
+    #                non-camera consumers (depth/top view) fall back to scan
     #   "auto"     — best supported backend for the game/platform
     raycast_backend: str = "auto"
     # Unroll factor for the scan DDA (TPU: higher amortizes loop overhead;
@@ -123,7 +126,9 @@ class EnvConfig:
             "top_u32", "top_rgb",
         ):
             raise ValueError(f"unknown obs_type: {self.obs_type}")
-        if self.raycast_backend not in ("scan", "scan_flat", "analytic", "pallas", "auto"):
+        if self.raycast_backend not in (
+            "scan", "scan_flat", "analytic", "pallas", "fused", "auto"
+        ):
             raise ValueError(f"unknown raycast_backend: {self.raycast_backend}")
         if self.wall_texture not in ("none", "checker", "brick", "xor"):
             raise ValueError(f"unknown wall_texture: {self.wall_texture}")
@@ -222,6 +227,13 @@ class EnvConfig:
         un = first[:, None, :] + t * (last - first)[:, None, :]   # [D, R, 2]
         un /= np.linalg.norm(un, axis=-1, keepdims=True)
         return un.astype(np.float32)
+
+    @functools.cached_property
+    def ray_fan_lut_flipped(self) -> np.ndarray:
+        """``ray_fan_lut`` with the ray axis reversed — the camera mirror
+        (ref :431, column ``k = R-1-i``) baked into the fan order so the
+        fused render kernel writes image columns in natural order."""
+        return np.ascontiguousarray(self.ray_fan_lut[:, ::-1, :])
 
     @functools.cached_property
     def border_wall_map(self) -> np.ndarray:

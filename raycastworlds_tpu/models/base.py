@@ -154,6 +154,10 @@ class Game:
         overrides; rendered in their own color pair)."""
         return None
 
+    def _block_words_batch(self, state: EnvState):
+        """Batched ``_block_words`` (u32[B, NW] or None)."""
+        return None
+
     def observe_from_hits_single(
         self, state: EnvState, hits: raycast.RayHits
     ) -> jax.Array:
@@ -227,10 +231,33 @@ class Game:
             ray_dirs=dirs, hit_tu=hit_tu, hit_dim=hit_dim, dist_wu=dist
         )
 
+    def _use_fused(self) -> bool:
+        """Fused DDA+render kernel: camera observations only, flat shading
+        (textures stay on the scan path until ported into the kernel)."""
+        return (
+            self.cfg.raycast_backend == "fused"
+            and self.cfg.obs_type in ("camera_u32", "camera_rgb", "camera_gray")
+            and self.cfg.wall_texture == "none"
+        )
+
     def observe_batch(self, state: EnvState) -> jax.Array:
         cfg = self.cfg
         if cfg.obs_type in ("top_u32", "top_rgb"):
             return jax.vmap(self.observe_single)(state)
+        if self._use_fused():
+            from ..ops import render_fused
+
+            wall_words, obstacle_words = self._packed_maps_batch(state)
+            block_words = self._block_words_batch(state)
+            img = render_fused.render_camera_fused(
+                cfg, obstacle_words, wall_words, state.pos_wu, state.dir_au,
+                block_words=block_words,
+            )
+            if cfg.obs_type == "camera_rgb":
+                return render.u32_to_rgb(img)
+            if cfg.obs_type == "camera_gray":
+                return render.u32_to_gray(img)
+            return img
         hits = self.cast_batch(state)
         return jax.vmap(self.observe_from_hits_single)(state, hits)
 

@@ -201,12 +201,14 @@ class DynamicRoom(Game):
 
     def _packed_maps_batch(self, state: EnvState):
         walls, obstacle = super()._packed_maps_batch(state)
-        bw = jax.vmap(
+        return walls, obstacle | self._block_words_batch(state)
+
+    def _block_words_batch(self, state: EnvState):
+        return jax.vmap(
             lambda b: _blocks_to_words(
-                b, (self.cfg.H, self.cfg.W), walls.shape[-1]
+                b, (self.cfg.H, self.cfg.W), state.wall_words.shape[-1]
             )
         )(state.blocks)
-        return walls, obstacle | bw
 
 
 def make(cfg: DynamicRoomConfig | None = None, **kw) -> DynamicRoom:

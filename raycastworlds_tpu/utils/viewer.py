@@ -36,19 +36,23 @@ def _native_lib() -> Optional[ctypes.CDLL]:
     _LIB_TRIED = True
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     so = os.path.join(root, "native", "libviewer.so")
-    if not os.path.exists(so):
-        mk = os.path.join(root, "native", "Makefile")
-        if os.path.exists(mk):
-            import subprocess
+    mk = os.path.join(root, "native", "Makefile")
+    src = os.path.join(root, "native", "viewer.cpp")
+    stale = os.path.exists(so) and os.path.exists(src) and (
+        os.path.getmtime(src) > os.path.getmtime(so)
+    )
+    if (not os.path.exists(so) or stale) and os.path.exists(mk):
+        import subprocess
 
-            try:
-                subprocess.run(
-                    ["make", "-C", os.path.dirname(mk)],
-                    check=True,
-                    capture_output=True,
-                    timeout=60,
-                )
-            except Exception:
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.dirname(mk)],
+                check=True,
+                capture_output=True,
+                timeout=60,
+            )
+        except Exception:
+            if not os.path.exists(so):
                 return None
     if os.path.exists(so):
         lib = ctypes.CDLL(so)
@@ -73,8 +77,85 @@ def _native_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint32),
             ctypes.c_long,
         ]
+        if hasattr(lib, "rcw_window_open"):  # X11 backend (viewer.cpp)
+            lib.rcw_window_available.restype = ctypes.c_int
+            lib.rcw_window_open.restype = ctypes.c_void_p
+            lib.rcw_window_open.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.rcw_window_update.restype = ctypes.c_int
+            lib.rcw_window_update.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
+            lib.rcw_window_poll_key.restype = ctypes.c_int
+            lib.rcw_window_poll_key.argtypes = [ctypes.c_void_p]
+            lib.rcw_window_close.restype = None
+            lib.rcw_window_close.argtypes = [ctypes.c_void_p]
         _LIB = lib
     return _LIB
+
+
+class Window:
+    """A real X11 window for live frames — the TPU-native equivalent of the
+    reference's minifb window (/root/reference/src/single_room.jl:503-565).
+
+    ``Window.open()`` returns None on headless hosts (no $DISPLAY, no libX11,
+    display refused) so callers can fall back to the terminal path.
+    """
+
+    def __init__(self, handle, h: int, w: int):
+        self._handle = handle
+        self._h = h
+        self._w = w
+
+    @staticmethod
+    def available() -> bool:
+        lib = _native_lib()
+        return bool(
+            lib is not None
+            and hasattr(lib, "rcw_window_available")
+            and lib.rcw_window_available()
+        )
+
+    @classmethod
+    def open(cls, title: str, h: int, w: int) -> Optional["Window"]:
+        lib = _native_lib()
+        if lib is None or not hasattr(lib, "rcw_window_open"):
+            return None
+        handle = lib.rcw_window_open(title.encode(), int(w), int(h))
+        if not handle:
+            return None
+        return cls(handle, h, w)
+
+    def update(self, img) -> None:
+        """Blit a u32 [H, W] frame (must match the open size)."""
+        a = _as_u32(img)
+        if a.shape != (self._h, self._w):
+            raise ValueError(f"frame {a.shape} != window {(self._h, self._w)}")
+        _native_lib().rcw_window_update(
+            self._handle,
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            self._h,
+            self._w,
+        )
+
+    def poll_key(self) -> Optional[str]:
+        """Next pressed key as a 1-char string, "close" if the WM closed the
+        window, or None if nothing is pending."""
+        k = _native_lib().rcw_window_poll_key(self._handle)
+        if k == -1:
+            return None
+        if k == -2:
+            return "close"
+        return chr(k) if 0 < k < 0x110000 else None
+
+    def close(self) -> None:
+        if self._handle:
+            _native_lib().rcw_window_close(self._handle)
+            self._handle = None
 
 
 def _as_u32(img) -> np.ndarray:
@@ -164,12 +245,19 @@ def ansi_frame(img, max_width: int = 160) -> str:
 ACTION_KEYS = ("w", "s", "a", "d")  # ref get_action_keys, single_room.jl:485
 
 
-def play(env=None, seed: int = 0, max_width: int = 128, out=sys.stdout):
-    """Interactive terminal play (ref ``play!``, single_room.jl:488-568).
+def play(env=None, seed: int = 0, max_width: int = 128, out=sys.stdout,
+         window: Optional[bool] = None):
+    """Interactive play (ref ``play!``, single_room.jl:488-568).
 
     Keys: w/s/a/d = forward/backward/turn-left/turn-right, r = reset,
-    v = toggle camera/top view, q = quit.  Requires a TTY; frames render as
-    ANSI half-blocks.
+    v = toggle camera/top view, q = quit — the reference key map
+    (``get_action_keys``, ref :485).
+
+    Display selection, like the reference's minifb-window-or-nothing but
+    with graceful degradation: a real X11 window when ``$DISPLAY`` is set
+    and libX11 loads (``window=None`` auto-detects; ``True`` forces,
+    ``False`` suppresses), else ANSI half-blocks on a TTY, else a single
+    dumped frame.
     """
     import jax
     import jax.numpy as jnp
@@ -187,6 +275,14 @@ def play(env=None, seed: int = 0, max_width: int = 128, out=sys.stdout):
 
     view = 0  # 0 = camera (ref CAMERA_VIEW), 1 = top
     steps = 0
+
+    if window is None:
+        window = Window.available()
+    if window:
+        win = _play_windowed(env, state, camera, top, seed, out)
+        if win:
+            return
+        out.write("(no X11 window available; falling back to terminal)\n")
 
     def draw():
         img = camera(state)[0] if view == 0 else top(state)[0]
@@ -230,3 +326,66 @@ def play(env=None, seed: int = 0, max_width: int = 128, out=sys.stdout):
             draw()
     finally:
         termios.tcsetattr(fd, termios.TCSADRAIN, old)
+
+
+def _play_windowed(env, state, camera, top, seed: int, out) -> bool:
+    """X11-window play loop (the reference's minifb loop,
+    /root/reference/src/single_room.jl:521-565: per keypress step + reblit,
+    vsync'd wait).  Returns False if no window could be opened."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    cam0 = np.asarray(camera(state)[0])
+    top0 = np.asarray(top(state)[0])
+    # Window sized to the larger view, like the reference (:503-508).
+    h = max(cam0.shape[0], top0.shape[0])
+    w = max(cam0.shape[1], top0.shape[1])
+    win = Window.open("raycastworlds_tpu (wasd move, r reset, v view, q quit)", h, w)
+    if win is None:
+        return False
+
+    view = 0
+    steps = 0
+
+    def frame():
+        img = np.asarray((camera if view == 0 else top)(state)[0])
+        fh, fw = img.shape
+        if (fh, fw) != (h, w):  # center the smaller view on black
+            padded = np.zeros((h, w), np.uint32)
+            oi, oj = (h - fh) // 2, (w - fw) // 2
+            padded[oi : oi + fh, oj : oj + fw] = img
+            img = padded
+        return img
+
+    try:
+        win.update(frame())
+        while True:
+            ch = win.poll_key()
+            if ch is None:
+                time.sleep(1.0 / 60.0)  # the reference's mfb_wait_sync
+                continue
+            if ch in ("q", "close"):
+                break
+            elif ch == "r":
+                state, _ = env.reset(jax.random.PRNGKey(seed + steps + 1))
+                steps = 0
+            elif ch == "v":
+                view = 1 - view
+            elif ch in ACTION_KEYS:
+                a = ACTION_KEYS.index(ch)
+                res = env.step(state, jnp.full(env.num_envs, a, jnp.int32))
+                state = res.state
+                steps += 1
+            else:
+                continue
+            win.update(frame())
+            out.write(
+                f"steps={steps} reward={float(state.reward[0]):.1f} "
+                f"done={bool(state.done[0])}\n"
+            )
+            out.flush()
+    finally:
+        win.close()
+    return True

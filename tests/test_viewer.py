@@ -68,3 +68,31 @@ def test_play_headless_renders_one_frame(capsys):
     s = out.getvalue()
     assert "steps=0" in s
     assert "▀" in s
+
+
+def test_window_degrades_headless(monkeypatch):
+    # No $DISPLAY: the X11 path must report unavailable and open None —
+    # TPU pod hosts are headless and play() falls back to the terminal.
+    monkeypatch.delenv("DISPLAY", raising=False)
+    assert viewer.Window.available() is False
+    assert viewer.Window.open("t", 16, 16) is None
+
+
+def test_window_refused_display(monkeypatch):
+    # A set-but-dead DISPLAY: libX11 loads (available), the connection is
+    # refused, and open returns None instead of crashing.
+    monkeypatch.setenv("DISPLAY", ":99")
+    lib = viewer._native_lib()
+    if lib is None or not hasattr(lib, "rcw_window_open"):
+        pytest.skip("native viewer not built")
+    assert viewer.Window.open("t", 16, 16) is None
+
+
+def test_play_auto_window_falls_back(monkeypatch):
+    # window=None auto-detect on a headless host must still render.
+    import io
+
+    monkeypatch.delenv("DISPLAY", raising=False)
+    out = io.StringIO()
+    viewer.play(seed=1, max_width=32, out=out, window=None)
+    assert "steps=0" in out.getvalue()
