@@ -158,12 +158,32 @@ def _texture_wall(cfg, wall_px, hits: RayHits, pos_wu, height_line, row):
     ui = jnp.clip((frac_u * t).astype(jnp.int32), 0, t - 1)  # i32[R]
     ui = jnp.flip(ui, axis=0)  # mirrored like the slab colors
 
-    # v: position down the unclipped column (perspective-correct close up).
+    # v: position down the *unclipped* column (perspective-correct close up),
+    # computed in exact integer arithmetic.  A float formulation
+    # ``vi = floor(t * (row - top)/hl)`` lands *structurally* on the knife
+    # edge v == 0.5 at the column's center row, where 1-ulp noise from
+    # LLVM-level FMA contraction (below HLO, so optimization_barrier cannot
+    # pin it) flips the texel between compilation contexts and vs the scalar
+    # oracle.  With an integer column height h = floor(height_line) the texel
+    # index is vi = floor(t * (2*row - hpu + h) / (2*h)) — doubled
+    # coordinates keep the half-pixel top offset exact, and the only
+    # float->int transition left is the same floor the slab renderer already
+    # takes.  Integer ops are also cheaper than the [H, R] f32 divide on the
+    # VPU.
+    cap = 1 << 20  # bounds t * (2*row + h) far below int32 overflow
     hl = jnp.flip(height_line, axis=0)  # f32[R] (may be inf)
-    hl = jnp.where(jnp.isfinite(hl), hl, jnp.asarray(float(hpu), hl.dtype))
-    top_true = (hpu - hl) * 0.5  # f32[R], can be negative
-    v = (row.astype(hl.dtype) - top_true[None, :]) / hl[None, :]
-    vi = jnp.clip((v * t).astype(jnp.int32), 0, t - 1)  # i32[H_pu, R]
+    h_full = jnp.where(
+        jnp.isfinite(hl),
+        jnp.floor(jnp.minimum(hl, jnp.asarray(float(cap), hl.dtype))).astype(
+            jnp.int32
+        ),
+        cap,
+    )
+    h_full = jnp.maximum(h_full, 1)  # i32[R]
+    numer = t * (2 * row - hpu + h_full[None, :])  # i32[H_pu, R]
+    vi = jnp.clip(
+        jnp.floor_divide(numer, 2 * h_full[None, :]), 0, t - 1
+    )  # i32[H_pu, R]
 
     if cfg.wall_texture == "checker":
         bright = ((ui[None, :] + vi) & 1) == 0
