@@ -81,6 +81,10 @@ class EnvConfig:
     #   "scan"     — lax.scan masked DDA (general maps; bit-exact parity path)
     #   "analytic" — closed-form border+goal intersection (SingleRoom-shaped
     #                maps only; fastest; ~1e-6 numerics vs DDA, not bit-exact)
+    #   "crossing" — loop-free parallel-crossing DDA (general maps; min over
+    #                all H+W grid-line crossings — no scan carries, fuses
+    #                with the renderer; own oracle parity mode, hit tiles
+    #                agree with scan except exact-corner float coincidences)
     #   "pallas"   — Pallas DDA kernel (same math as scan; cast only)
     #   "fused"    — Pallas DDA + camera-render in ONE kernel (fastest for
     #                camera observations; bit-identical to scan+render);
@@ -127,7 +131,8 @@ class EnvConfig:
         ):
             raise ValueError(f"unknown obs_type: {self.obs_type}")
         if self.raycast_backend not in (
-            "scan", "scan_flat", "analytic", "pallas", "fused", "auto"
+            "scan", "scan_flat", "crossing", "analytic", "pallas", "fused",
+            "auto",
         ):
             raise ValueError(f"unknown raycast_backend: {self.raycast_backend}")
         if self.wall_texture not in ("none", "checker", "brick", "xor"):
@@ -152,6 +157,18 @@ class EnvConfig:
         if self.max_dda_steps > 0:
             return self.max_dda_steps
         return self.height_tile_map_tu + self.width_tile_map_tu
+
+    @property
+    def resolved_raycast_backend(self) -> str:
+        """'auto' resolved to a concrete general-map backend.
+
+        'scan' remains the reference-sequential parity path; 'auto' stays on
+        it until a game opts into something better (games with closed-form
+        map structure override cast_single for 'analytic' explicitly).
+        """
+        if self.raycast_backend == "auto":
+            return "scan"
+        return self.raycast_backend
 
     @property
     def obs_shape(self) -> Tuple[int, ...]:

@@ -265,6 +265,122 @@ def cast_rays_scan_flat(
     return hit_tu, hd.reshape(b, r), dist.reshape(b, r)
 
 
+def _crossing_axis(
+    obstacle_words: jax.Array,
+    shape: Tuple[int, int],
+    d_main: jax.Array,      # f32[R] direction component along the crossed axis
+    d_cross: jax.Array,     # f32[R] the other component
+    p_main: jax.Array,      # f32[]  origin along the crossed axis
+    p_cross: jax.Array,     # f32[]  origin along the other axis
+    main_is_i: bool,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """All grid-line crossings of one axis, evaluated in parallel.
+
+    Returns (best_t f32[R], main_tile i32[R], cross_tile i32[R]) — the
+    smallest crossing distance whose *entered tile* is occupied, +max-float
+    when no crossing of this axis hits.
+    """
+    h, w = shape
+    dtype = d_main.dtype
+    n = h if main_is_i else w          # lines the ray can cross this axis
+    size_cross = w if main_is_i else h
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    main0 = jnp.floor(p_main).astype(jnp.int32)
+    delta = jnp.abs(1.0 / d_main)                            # [R], +inf ok
+    step = jnp.where(d_main < 0, -1, 1).astype(jnp.int32)
+    frac = p_main - jnp.floor(p_main)
+    side0 = jnp.where(d_main < 0, frac, 1.0 - frac) * delta  # [R]
+
+    # Layout: candidates on the SUBLANE axis, rays on the LANE axis — [N, R]
+    # keeps the wide ray dimension in the VPU's 128-lane minor axis (an
+    # [R, N] layout puts the 8-16-wide candidate axis there and wastes ~90%
+    # of every tile).
+    k = jnp.arange(n, dtype=dtype)                           # [N]
+    t = side0[None, :] + k[:, None] * delta[None, :]         # [N, R]
+    finite = jnp.isfinite(t)
+    c = p_cross + t * d_cross[None, :]                       # [N, R]
+    c = jnp.where(finite, c, 0.0)
+    # Entered-tile index on the crossed axis is exact integer arithmetic; the
+    # cross-axis tile replays the sequential tie rule (ties advance j first):
+    # at an i-crossing the j count includes simultaneous j-crossings
+    # (floor for dy>0, ceil-1 for dy<0); at a j-crossing the i count
+    # EXcludes simultaneous i-crossings (ceil-1 for dx>0, floor for dx<0).
+    if main_is_i:
+        c_tile = jnp.where(
+            d_cross[None, :] > 0, jnp.floor(c), jnp.ceil(c) - 1.0
+        )
+    else:
+        c_tile = jnp.where(
+            d_cross[None, :] > 0, jnp.ceil(c) - 1.0, jnp.floor(c)
+        )
+    c_idx = jnp.clip(c_tile, 0.0, float(size_cross - 1)).astype(jnp.int32)
+    m_idx = main0 + (jnp.arange(n, dtype=jnp.int32)[:, None] + 1) * step[None, :]
+    m_clip = jnp.clip(m_idx, 0, (h if main_is_i else w) - 1)
+    idx = (
+        m_clip * w + c_idx if main_is_i else c_idx * w + m_clip
+    )
+    occ = bitmap.lookup_bit(obstacle_words, idx) & finite
+    t_m = jnp.where(occ, t, big)                             # [N, R]
+    best = jnp.min(t_m, axis=0)                              # [R]
+    kb = jnp.argmin(t_m, axis=0).astype(jnp.int32)           # [R]
+    # Select the winning candidate's tile with a one-hot sum (no gather);
+    # recomputing coordinates from `best` would re-round under a different
+    # fusion context.
+    onehot = (
+        jnp.arange(n, dtype=jnp.int32)[:, None] == kb[None, :]
+    )
+    c_best = jnp.sum(jnp.where(onehot, c_idx, 0), axis=0)
+    m_best = main0 + (kb + 1) * step
+    return best, m_best, c_best
+
+
+def cast_rays_crossing(
+    obstacle_words: jax.Array,
+    shape: Tuple[int, int],
+    pos_wu: jax.Array,
+    ray_dirs: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Loop-free DDA: the hit is the min-distance occupied entered tile over
+    ALL grid-line crossings, evaluated in parallel.
+
+    TPU-first reformulation of the sequential march (reference contract at
+    /root/reference/src/single_room.jl:223-227): a ray crosses at most H
+    i-lines and W j-lines before the border walls stop it; each crossing k
+    enters exactly one tile at closed-form distance ``side0 + k*delta``, so
+    the first occupied tile along the ray is simply the minimum crossing
+    distance whose entered tile is occupied.  No sequential dependency
+    remains: where ``lax.scan`` streams 7 [B, R] carries through HBM every
+    DDA iteration (the measured wall at high resolutions — docs/RESULTS.md),
+    this is one flat [B, R, H+W] elementwise program + a min-reduction that
+    XLA fuses straight into the camera renderer.
+
+    Numerics: distances are ``side0 + k*delta`` (closed form) instead of the
+    scan's sequentially accumulated sides — identical for the first two
+    crossings per axis and within 1 ulp beyond; hit tiles agree with the
+    sequential march everywhere except exact-corner float coincidences.
+    Parity for this backend is pinned against its own scalar-oracle mode
+    (oracle/single_room.py cast_one_crossing), same expressions.
+    """
+    h, w = shape
+    dx = ray_dirs[:, 0]
+    dy = ray_dirs[:, 1]
+    px = pos_wu[0]
+    py = pos_wu[1]
+    ti, ii, ji = _crossing_axis(
+        obstacle_words, (h, w), dx, dy, px, py, main_is_i=True
+    )
+    tj, jj, ij = _crossing_axis(
+        obstacle_words, (h, w), dy, dx, py, px, main_is_i=False
+    )
+    use_j = tj <= ti   # ties advance (and check) j first in the sequential march
+    dist = jnp.where(use_j, tj, ti)
+    hit_dim = jnp.where(use_j, 1, 0).astype(jnp.int32)
+    hit_i = jnp.where(use_j, ij, ii)
+    hit_j = jnp.where(use_j, jj, ji)
+    return jnp.stack([hit_i, hit_j], axis=-1), hit_dim, dist
+
+
 def cast_rays(
     cfg: EnvConfig,
     obstacle_words: jax.Array,
@@ -276,8 +392,13 @@ def cast_rays(
     from . import lut as lut_ops
 
     dirs = lut_ops.take_rows(jnp.asarray(cfg.ray_fan_lut), dir_au)  # [R, 2]
-    hit_tu, hit_dim, dist = cast_rays_scan(
-        obstacle_words, (cfg.H, cfg.W), pos_wu, dirs, cfg.dda_steps,
-        unroll=cfg.dda_unroll, early_exit=cfg.dda_early_exit,
-    )
+    if cfg.resolved_raycast_backend == "crossing":
+        hit_tu, hit_dim, dist = cast_rays_crossing(
+            obstacle_words, (cfg.H, cfg.W), pos_wu, dirs
+        )
+    else:
+        hit_tu, hit_dim, dist = cast_rays_scan(
+            obstacle_words, (cfg.H, cfg.W), pos_wu, dirs, cfg.dda_steps,
+            unroll=cfg.dda_unroll, early_exit=cfg.dda_early_exit,
+        )
     return RayHits(ray_dirs=dirs, hit_tu=hit_tu, hit_dim=hit_dim, dist_wu=dist)

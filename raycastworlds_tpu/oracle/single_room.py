@@ -167,6 +167,84 @@ class OracleSingleRoom:
     def cast_one(
         self, obstacle_map: np.ndarray, px: float, py: float, dx: float, dy: float
     ) -> Tuple[int, int, int, float]:
+        """Scalar raycast dispatch: the sequential Lodev DDA, or the
+        crossing-formulation mirror when the config selects that backend.
+        Returns (i_hit, j_hit, hit_dim in {0,1}, euclidean distance along
+        the ray to the hit face)."""
+        if self.cfg.resolved_raycast_backend == "crossing":
+            return self.cast_one_crossing(obstacle_map, px, py, dx, dy)
+        return self.cast_one_scan(obstacle_map, px, py, dx, dy)
+
+    def cast_one_crossing(
+        self, obstacle_map: np.ndarray, px: float, py: float, dx: float, dy: float
+    ) -> Tuple[int, int, int, float]:
+        """Scalar mirror of ops/raycast.cast_rays_crossing — identical
+        float32 expressions per candidate (closed-form ``side0 + k*delta``,
+        no accumulation), same tie rules, same clip-and-mask handling."""
+        h, w = obstacle_map.shape
+        big = np.float32(np.finfo(np.float32).max)
+        px = np.float32(px)
+        py = np.float32(py)
+        dx = np.float32(dx)
+        dy = np.float32(dy)
+
+        def axis(d_main, d_cross, p_main, p_cross, n, size_cross, main_is_i):
+            main0 = int(math.floor(p_main))
+            size_main = h if main_is_i else w
+            with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+                delta = (
+                    np.float32(abs(np.float32(1.0) / d_main))
+                    if d_main != 0
+                    else np.float32(np.inf)
+                )
+                step = -1 if d_main < 0 else 1
+                frac = np.float32(p_main - np.float32(math.floor(p_main)))
+                side0 = np.float32(
+                    (frac if d_main < 0 else np.float32(1.0) - frac) * delta
+                )
+                best = big
+                kb = 0
+                cb = 0
+                for k in range(n):
+                    t = np.float32(side0 + np.float32(np.float32(k) * delta))
+                    finite = bool(np.isfinite(t))
+                    c = (
+                        np.float32(p_cross + np.float32(t * d_cross))
+                        if finite
+                        else np.float32(0.0)
+                    )
+                    if main_is_i:
+                        c_tile = (
+                            np.floor(c) if d_cross > 0 else np.ceil(c) - np.float32(1.0)
+                        )
+                    else:
+                        c_tile = (
+                            np.ceil(c) - np.float32(1.0) if d_cross > 0 else np.floor(c)
+                        )
+                    c_id = int(min(max(float(c_tile), 0.0), float(size_cross - 1)))
+                    m_id = main0 + (k + 1) * step
+                    mc = min(max(m_id, 0), size_main - 1)
+                    occ = bool(
+                        obstacle_map[mc, c_id] if main_is_i else obstacle_map[c_id, mc]
+                    ) and finite
+                    if k == 0:
+                        cb = c_id
+                    tm = t if occ else big
+                    if tm < best:
+                        best = tm
+                        kb = k
+                        cb = c_id
+            return best, main0 + (kb + 1) * step, cb
+
+        best_i, mi, ci = axis(dx, dy, px, py, h, w, True)
+        best_j, mj, cj = axis(dy, dx, py, px, w, h, False)
+        if best_j <= best_i:  # ties check j first, like the sequential march
+            return cj, mj, 1, float(best_j)
+        return mi, ci, 0, float(best_i)
+
+    def cast_one_scan(
+        self, obstacle_map: np.ndarray, px: float, py: float, dx: float, dy: float
+    ) -> Tuple[int, int, int, float]:
         """Scalar Lodev DDA.  Returns (i_hit, j_hit, hit_dim in {0,1},
         euclidean distance along the ray to the hit face)."""
         px = np.float32(px)
