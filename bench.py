@@ -44,9 +44,14 @@ def _roofline(cfg, args, sps: float) -> dict:
 
     # DDA: ops per lane per iteration (compare/min/4 blended adds/index/
     # word-select chain/shift-mask/3 hit updates) — ~30 + 2 ops per packed
-    # word in the select chain.
-    if cfg.raycast_backend == "analytic":
+    # word in the select chain.  The crossing backend is ~14 ops per
+    # candidate (closed-form t, cross coord, shift-mask occupancy,
+    # min/argmin tracking) over H+W parallel candidates.
+    backend = cfg.resolved_raycast_backend
+    if backend == "analytic":
         dda_ops = r * 40.0 * 4  # border + K boxes closed forms
+    elif backend == "crossing":
+        dda_ops = r * (h + w) * 14.0 + 2.0 * h * w
     else:
         dda_ops = r * cfg.dda_steps * (30.0 + 2.0 * nw)
 
@@ -59,6 +64,9 @@ def _roofline(cfg, args, sps: float) -> dict:
             per_px += 25.0
         if args.obs == "camera_rgb":
             per_px += 6.0
+            # 3-byte obs only: compiled memory analysis shows the u32
+            # camera intermediate fuses into the rgb unpack (temp size ~= one
+            # rgb frame), so no extra u32 round-trip is charged.
             obs_bytes = px * 3.0
         elif args.obs == "camera_gray":
             per_px += 8.0

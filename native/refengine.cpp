@@ -137,6 +137,87 @@ void rcw_cast(const uint8_t* obstacle, int h, int w,
     }
 }
 
+// Parallel-crossing raycast (mirror of ops/raycast.cast_rays_crossing and
+// oracle cast_one_crossing): the hit is the min distance over all grid-line
+// crossings whose entered tile is occupied; distances are the closed form
+// side0 + k*delta.  Must be compiled with -ffp-contract=off so the float32
+// mul-then-add sequence matches the Python implementations exactly.
+void rcw_cast_crossing(const uint8_t* obstacle, int h, int w,
+                       const float* fan, int num_rays, float px, float py,
+                       int* hit_i, int* hit_j, int* hit_dim, float* dist) {
+    const float big = 3.4028234663852886e38f;
+    for (int r = 0; r < num_rays; ++r) {
+        float dxy[2] = {fan[2 * r], fan[2 * r + 1]};
+        float pxy[2] = {px, py};
+        float best[2];
+        int mbest[2], cbest[2];
+        for (int axis = 0; axis < 2; ++axis) {
+            bool main_is_i = axis == 0;
+            float d_main = dxy[axis];
+            float d_cross = dxy[1 - axis];
+            float p_main = pxy[axis];
+            float p_cross = pxy[1 - axis];
+            int n = main_is_i ? h : w;
+            int size_cross = main_is_i ? w : h;
+            int main0 = static_cast<int>(std::floor(p_main));
+            int step = d_main < 0.0f ? -1 : 1;
+            float frac = p_main - std::floor(p_main);
+            float frac_sel = d_main < 0.0f ? frac : 1.0f - frac;
+            float ad = std::fabs(d_main);
+            float b = big;
+            int kb = 0, cb = 0;
+            for (int k = 0; k < n; ++k) {
+                // add-then-divide (matches the JAX and NumPy mirrors; no
+                // contractible mul+add pattern).  ad == 0 -> inf/NaN,
+                // rejected by the isfinite mask below.
+                float t = (frac_sel + static_cast<float>(k)) / ad;
+                bool finite = std::isfinite(t);
+                float c = finite ? (p_cross + t * d_cross) : 0.0f;
+                float c_tile;
+                // Tie rules of the sequential march: at an i-crossing the
+                // simultaneous j-crossing has already advanced (<=); at a
+                // j-crossing the simultaneous i-crossing has not (<).
+                if (main_is_i) {
+                    c_tile = d_cross > 0.0f ? std::floor(c)
+                                            : std::ceil(c) - 1.0f;
+                } else {
+                    c_tile = d_cross > 0.0f ? std::ceil(c) - 1.0f
+                                            : std::floor(c);
+                }
+                float hi = static_cast<float>(size_cross - 1);
+                float cc = c_tile < 0.0f ? 0.0f : (c_tile > hi ? hi : c_tile);
+                int c_id = static_cast<int>(cc);
+                int m_id = main0 + (k + 1) * step;
+                int mc = m_id < 0 ? 0 : (m_id >= n ? n - 1 : m_id);
+                bool occ = finite &&
+                           (main_is_i ? obstacle[mc * w + c_id]
+                                      : obstacle[c_id * w + mc]) != 0;
+                if (k == 0) cb = c_id;
+                float tm = occ ? t : big;
+                if (tm < b) {
+                    b = tm;
+                    kb = k;
+                    cb = c_id;
+                }
+            }
+            best[axis] = b;
+            mbest[axis] = main0 + (kb + 1) * step;
+            cbest[axis] = cb;
+        }
+        if (best[1] <= best[0]) {  // ties check j first
+            hit_i[r] = cbest[1];
+            hit_j[r] = mbest[1];
+            hit_dim[r] = 1;
+            dist[r] = best[1];
+        } else {
+            hit_i[r] = mbest[0];
+            hit_j[r] = cbest[0];
+            hit_dim[r] = 0;
+            dist[r] = best[0];
+        }
+    }
+}
+
 // Camera-view render (ref update_camera_view!, single_room.jl:374-444).
 // Palette passed in so it lives in one place (Python colors.py).
 void rcw_render_camera(const uint8_t* walls, int h, int w,

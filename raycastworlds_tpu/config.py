@@ -86,9 +86,11 @@ class EnvConfig:
     #                with the renderer; own oracle parity mode, hit tiles
     #                agree with scan except exact-corner float coincidences)
     #   "pallas"   — Pallas DDA kernel (same math as scan; cast only)
-    #   "fused"    — Pallas DDA + camera-render in ONE kernel (fastest for
-    #                camera observations; bit-identical to scan+render);
-    #                non-camera consumers (depth/top view) fall back to scan
+    #   "fused"    — Pallas DDA + camera-render in ONE kernel (kept as an
+    #                option; measured SLOWER than crossing/scan on v5e and
+    #                ulp-level pixel differences on TPU hardware from Mosaic
+    #                FMA contraction — docs/RESULTS.md); non-camera
+    #                consumers (depth/top view) fall back to scan
     #   "auto"     — best supported backend for the game/platform
     raycast_backend: str = "auto"
     # Unroll factor for the scan DDA (TPU: higher amortizes loop overhead;
@@ -115,6 +117,13 @@ class EnvConfig:
     wall_texture: str = "none"
     # Texels per tile edge for the procedural patterns.
     texture_cells: int = 8
+    # Geometry precision (the reference is generic over T,
+    # /root/reference/src/single_room.jl:42-44): float dtype of positions,
+    # ray math and render arithmetic.  "float64" requires JAX x64 mode
+    # (jax.experimental.enable_x64 or jax_enable_x64) and is CPU-oriented —
+    # TPUs emulate f64 slowly.  Parity oracles are float32; f64 configs are
+    # covered by invariant tests, not bit-parity.
+    dtype: str = "float32"
 
     def __post_init__(self):
         if self.height_tile_map_tu < 3 or self.width_tile_map_tu < 3:
@@ -137,6 +146,8 @@ class EnvConfig:
             raise ValueError(f"unknown raycast_backend: {self.raycast_backend}")
         if self.wall_texture not in ("none", "checker", "brick", "xor"):
             raise ValueError(f"unknown wall_texture: {self.wall_texture}")
+        if self.dtype not in ("float32", "float64"):
+            raise ValueError(f"unknown dtype: {self.dtype}")
         if self.texture_cells < 2:
             raise ValueError("texture_cells must be >= 2")
 
@@ -162,12 +173,14 @@ class EnvConfig:
     def resolved_raycast_backend(self) -> str:
         """'auto' resolved to a concrete general-map backend.
 
-        'scan' remains the reference-sequential parity path; 'auto' stays on
-        it until a game opts into something better (games with closed-form
-        map structure override cast_single for 'analytic' explicitly).
+        'crossing' is the default: the fastest general-map backend on TPU
+        (docs/RESULTS.md), parity-pinned against its own scalar-oracle and
+        C++-engine modes, and hit-tile/dim identical to the sequential scan
+        on fuzzed maps.  'scan' remains available as the
+        reference-sequential-semantics path.
         """
         if self.raycast_backend == "auto":
-            return "scan"
+            return "crossing"
         return self.raycast_backend
 
     @property
@@ -202,14 +215,19 @@ class EnvConfig:
     # construction, /root/reference/src/single_room.jl:65-69).
     # ------------------------------------------------------------------
 
+    @property
+    def float_dtype(self):
+        """NumPy dtype of the geometry precision (EnvConfig.dtype)."""
+        return np.float64 if self.dtype == "float64" else np.float32
+
     @functools.cached_property
     def directions_wu(self) -> np.ndarray:
-        """[num_directions, 2] float32 unit vectors; angle au*2*pi/D, 0 = +x."""
+        """[num_directions, 2] unit vectors (cfg dtype); au*2*pi/D, 0 = +x."""
         d = self.num_directions
         theta = np.arange(d, dtype=np.float64) * (2.0 * math.pi / d)
         return np.stack(
             [np.cos(theta), np.sin(theta)], axis=-1
-        ).astype(np.float32)
+        ).astype(self.float_dtype)
 
     @property
     def player_radius_pu(self) -> int:
@@ -243,7 +261,7 @@ class EnvConfig:
         t = (np.arange(r, dtype=np.float64) / (r - 1))[None, :, None]
         un = first[:, None, :] + t * (last - first)[:, None, :]   # [D, R, 2]
         un /= np.linalg.norm(un, axis=-1, keepdims=True)
-        return un.astype(np.float32)
+        return un.astype(self.float_dtype)
 
     @functools.cached_property
     def ray_fan_lut_flipped(self) -> np.ndarray:

@@ -108,7 +108,7 @@ class Env:
             "camera_u32": jnp.uint32,
             "camera_rgb": jnp.uint8,
             "camera_gray": jnp.float32,
-            "depth": jnp.float32,
+            "depth": cfg.float_dtype,  # follows EnvConfig.dtype
             "tile_grid": jnp.int32,
             "top_u32": jnp.uint32,
             "top_rgb": jnp.uint8,

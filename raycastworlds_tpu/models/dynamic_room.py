@@ -99,7 +99,7 @@ class DynamicRoom(Game):
         )  # [K, 3]
 
         spawn_tu = sampling.sample_empty_tile(k_spawn, occupied)
-        pos_wu = spawn_tu.astype(jnp.float32) + 0.5
+        pos_wu = spawn_tu.astype(cfg.float_dtype) + 0.5
         dir_au = sampling.sample_heading(k_dir, cfg.num_directions)
 
         zero = jnp.float32(0)

@@ -103,7 +103,7 @@ class Maze(Game):
         jj = jnp.arange(w)[None, :]
         goal_mask = (ii == goal_tu[0]) & (jj == goal_tu[1])
         spawn_tu = sampling.sample_empty_tile(k_spawn, wall_map | goal_mask)
-        pos_wu = spawn_tu.astype(jnp.float32) + 0.5
+        pos_wu = spawn_tu.astype(cfg.float_dtype) + 0.5
         dir_au = sampling.sample_heading(k_dir, cfg.num_directions)
 
         zero = jnp.float32(0)

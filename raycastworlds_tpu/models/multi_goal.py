@@ -82,7 +82,7 @@ class MultiGoalRoom(Game):
         goal_tiles = jnp.stack(tiles).astype(jnp.int32)  # [K, 2]
 
         spawn_tu = sampling.sample_empty_tile(k_spawn, occupied)
-        pos_wu = spawn_tu.astype(jnp.float32) + 0.5
+        pos_wu = spawn_tu.astype(cfg.float_dtype) + 0.5
         dir_au = sampling.sample_heading(k_dir, cfg.num_directions)
 
         zero = jnp.float32(0)

@@ -63,7 +63,7 @@ class RandomRoom(Game):
 
         border = jnp.asarray(cfg.border_wall_map)
         interior_noise = (
-            jax.random.uniform(k_map, (h, w)) < cfg.wall_density
+            jax.random.uniform(k_map, (h, w), dtype=jnp.float32) < cfg.wall_density
         )
         wall_map = border | (interior_noise & ~border)
 
@@ -98,7 +98,7 @@ class RandomRoom(Game):
         has_valid = jnp.any(valid)
         spawn_tu = jnp.where(has_valid, sampled, fallback)
         wall_map = wall_map.at[spawn_tu[0], spawn_tu[1]].set(False)
-        pos_wu = spawn_tu.astype(jnp.float32) + 0.5
+        pos_wu = spawn_tu.astype(cfg.float_dtype) + 0.5
         dir_au = sampling.sample_heading(k_dir, cfg.num_directions)
 
         zero = jnp.float32(0)

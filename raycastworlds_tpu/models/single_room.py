@@ -37,14 +37,14 @@ class SingleRoom(Game):
         # same count n, same rank->tile order.
         wi = cfg.W - 2
         n = jnp.float32((cfg.H - 2) * wi - 1)  # interior minus goal
-        u = jax.random.uniform(k_spawn, ())
+        u = jax.random.uniform(k_spawn, (), dtype=jnp.float32)
         k = jnp.clip(jnp.floor(u * n), 0.0, jnp.maximum(n - 1.0, 0.0)).astype(
             jnp.int32
         )
         goal_rank = (goal_tu[0] - 1) * wi + (goal_tu[1] - 1)
         r = k + (k >= goal_rank).astype(jnp.int32)
         spawn_tu = jnp.stack([1 + r // wi, 1 + r % wi]).astype(jnp.int32)
-        pos_wu = spawn_tu.astype(jnp.float32) + 0.5  # tile center (ref :125)
+        pos_wu = spawn_tu.astype(cfg.float_dtype) + 0.5  # tile center (ref :125)
         dir_au = sampling.sample_heading(k_dir, cfg.num_directions)
 
         zero = jnp.float32(0)

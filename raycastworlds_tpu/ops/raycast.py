@@ -273,6 +273,7 @@ def _crossing_axis(
     p_main: jax.Array,      # f32[]  origin along the crossed axis
     p_cross: jax.Array,     # f32[]  origin along the other axis
     main_is_i: bool,
+    line_words: jax.Array | None = None,  # u32[size_main], bit c = tile occ
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """All grid-line crossings of one axis, evaluated in parallel.
 
@@ -287,17 +288,23 @@ def _crossing_axis(
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
     main0 = jnp.floor(p_main).astype(jnp.int32)
-    delta = jnp.abs(1.0 / d_main)                            # [R], +inf ok
     step = jnp.where(d_main < 0, -1, 1).astype(jnp.int32)
     frac = p_main - jnp.floor(p_main)
-    side0 = jnp.where(d_main < 0, frac, 1.0 - frac) * delta  # [R]
+    frac_sel = jnp.where(d_main < 0, frac, 1.0 - frac)       # [R]
+    ad = jnp.abs(d_main)                                     # [R]
 
     # Layout: candidates on the SUBLANE axis, rays on the LANE axis — [N, R]
     # keeps the wide ray dimension in the VPU's 128-lane minor axis (an
     # [R, N] layout puts the 8-16-wide candidate axis there and wastes ~90%
     # of every tile).
+    #
+    # t = (frac_sel + k) / |d| — deliberately add-then-DIVIDE: the obvious
+    # ``side0 + k*delta`` is a mul feeding an add, which LLVM/Mosaic contract
+    # into an FMA underneath any HLO-level pinning, breaking 1-ulp parity
+    # with the scalar oracles at far hits.  There is no fused divide-add, so
+    # this expression rounds identically everywhere.
     k = jnp.arange(n, dtype=dtype)                           # [N]
-    t = side0[None, :] + k[:, None] * delta[None, :]         # [N, R]
+    t = (frac_sel[None, :] + k[:, None]) / ad[None, :]       # [N, R]
     finite = jnp.isfinite(t)
     c = p_cross + t * d_cross[None, :]                       # [N, R]
     c = jnp.where(finite, c, 0.0)
@@ -315,12 +322,44 @@ def _crossing_axis(
             d_cross[None, :] > 0, jnp.ceil(c) - 1.0, jnp.floor(c)
         )
     c_idx = jnp.clip(c_tile, 0.0, float(size_cross - 1)).astype(jnp.int32)
-    m_idx = main0 + (jnp.arange(n, dtype=jnp.int32)[:, None] + 1) * step[None, :]
-    m_clip = jnp.clip(m_idx, 0, (h if main_is_i else w) - 1)
-    idx = (
-        m_clip * w + c_idx if main_is_i else c_idx * w + m_clip
-    )
-    occ = bitmap.lookup_bit(obstacle_words, idx) & finite
+    size_main = h if main_is_i else w
+    if line_words is not None:
+        # The crossed-axis tile index depends on the ray only through the
+        # STEP SIGN (m = main0 + (k+1)*step), so the per-candidate map line
+        # is one of two u32 words selected per env — the occupancy test
+        # collapses to a single shift-and-mask per (ray, candidate) instead
+        # of a 2*n_words select-chain.  Requires the cross axis to fit one
+        # word (size <= 32; every reference-scale map does).
+        ks = jnp.arange(n, dtype=jnp.int32)
+        m_plus = jnp.clip(main0 + (ks + 1), 0, size_main - 1)    # [N]
+        m_minus = jnp.clip(main0 - (ks + 1), 0, size_main - 1)   # [N]
+        iota = jnp.arange(size_main, dtype=jnp.int32)
+        w_plus = jnp.sum(
+            jnp.where(
+                m_plus[:, None] == iota[None, :], line_words[None, :],
+                jnp.uint32(0),
+            ),
+            axis=1,
+        )  # u32[N]
+        w_minus = jnp.sum(
+            jnp.where(
+                m_minus[:, None] == iota[None, :], line_words[None, :],
+                jnp.uint32(0),
+            ),
+            axis=1,
+        )
+        word = jnp.where(
+            step[None, :] > 0, w_plus[:, None], w_minus[:, None]
+        )  # u32[N, R]
+        occ_bit = ((word >> c_idx.astype(jnp.uint32)) & jnp.uint32(1)) == 1
+        occ = occ_bit & finite
+    else:
+        m_idx = main0 + (jnp.arange(n, dtype=jnp.int32)[:, None] + 1) * step[None, :]
+        m_clip = jnp.clip(m_idx, 0, size_main - 1)
+        idx = (
+            m_clip * w + c_idx if main_is_i else c_idx * w + m_clip
+        )
+        occ = bitmap.lookup_bit(obstacle_words, idx) & finite
     t_m = jnp.where(occ, t, big)                             # [N, R]
     best = jnp.min(t_m, axis=0)                              # [R]
     kb = jnp.argmin(t_m, axis=0).astype(jnp.int32)           # [R]
@@ -347,7 +386,7 @@ def cast_rays_crossing(
     TPU-first reformulation of the sequential march (reference contract at
     /root/reference/src/single_room.jl:223-227): a ray crosses at most H
     i-lines and W j-lines before the border walls stop it; each crossing k
-    enters exactly one tile at closed-form distance ``side0 + k*delta``, so
+    enters exactly one tile at closed-form distance ``(frac + k) / |d|``, so
     the first occupied tile along the ray is simply the minimum crossing
     distance whose entered tile is occupied.  No sequential dependency
     remains: where ``lax.scan`` streams 7 [B, R] carries through HBM every
@@ -355,10 +394,11 @@ def cast_rays_crossing(
     this is one flat [B, R, H+W] elementwise program + a min-reduction that
     XLA fuses straight into the camera renderer.
 
-    Numerics: distances are ``side0 + k*delta`` (closed form) instead of the
-    scan's sequentially accumulated sides — identical for the first two
-    crossings per axis and within 1 ulp beyond; hit tiles agree with the
-    sequential march everywhere except exact-corner float coincidences.
+    Numerics: distances are the closed form ``(frac + k) / |d|`` (an
+    uncontractible add-then-divide; see _crossing_axis) instead of the scan's
+    sequentially accumulated sides — within ~1 ulp of them; hit tiles agree
+    with the sequential march everywhere except exact-corner float
+    coincidences.
     Parity for this backend is pinned against its own scalar-oracle mode
     (oracle/single_room.py cast_one_crossing), same expressions.
     """
@@ -367,11 +407,22 @@ def cast_rays_crossing(
     dy = ray_dirs[:, 1]
     px = pos_wu[0]
     py = pos_wu[1]
+    row_words = col_words = None
+    if h <= 32 and w <= 32:
+        dense = bitmap.unpack_bits(obstacle_words, (h, w)).astype(jnp.uint32)
+        row_words = jnp.sum(
+            dense << jnp.arange(w, dtype=jnp.uint32)[None, :], axis=1
+        )  # u32[H], bit j = tile (i, j)
+        col_words = jnp.sum(
+            dense << jnp.arange(h, dtype=jnp.uint32)[:, None], axis=0
+        )  # u32[W], bit i = tile (i, j)
     ti, ii, ji = _crossing_axis(
-        obstacle_words, (h, w), dx, dy, px, py, main_is_i=True
+        obstacle_words, (h, w), dx, dy, px, py, main_is_i=True,
+        line_words=row_words,
     )
     tj, jj, ij = _crossing_axis(
-        obstacle_words, (h, w), dy, dx, py, px, main_is_i=False
+        obstacle_words, (h, w), dy, dx, py, px, main_is_i=False,
+        line_words=col_words,
     )
     use_j = tj <= ti   # ties advance (and check) j first in the sequential march
     dist = jnp.where(use_j, tj, ti)

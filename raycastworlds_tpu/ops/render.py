@@ -90,10 +90,14 @@ def render_camera_u32(
     hpu = cfg.height_camera_view_pu
     r = cfg.num_rays
     proj = projected_depth(player_dir_wu, hits)  # f32[R]
-    # Host-computed f32 constants (identical in the NumPy oracle) keep the
-    # expression bit-reproducible across backends.
-    num = jnp.asarray(np.float32(cfg.camera_height_tile_wu * r), proj.dtype)
-    denom_c = jnp.asarray(np.float32(2.0 * cfg.semi_field_of_view_wu), proj.dtype)
+    # Host-computed constants at cfg precision (identical in the NumPy
+    # oracle) keep the expression bit-reproducible across backends.
+    num = jnp.asarray(
+        cfg.float_dtype(cfg.camera_height_tile_wu * r), proj.dtype
+    )
+    denom_c = jnp.asarray(
+        cfg.float_dtype(2.0 * cfg.semi_field_of_view_wu), proj.dtype
+    )
     height_line = num / (denom_c * proj)
     finite = jnp.isfinite(height_line)
     # Clamp before the int cast (avoids int overflow); clamping at hpu keeps

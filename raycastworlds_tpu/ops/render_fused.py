@@ -22,9 +22,13 @@ envs:
   observation traffic.
 
 Bit-exactness: the float32 operation sequence matches ``raycast.cast_rays_scan``
-followed by ``render.render_camera_u32`` exactly (same blends, same constant
-derivations), so the output is bit-identical to the scan+XLA path and
-therefore to the NumPy/C++ oracles.  The mirror (ref :431, column
+followed by ``render.render_camera_u32``, and under the CPU interpret mode the
+output is bit-identical to the scan+XLA path.  On TPU hardware Mosaic's FMA
+contraction of the fisheye mul-add chain differs from the XLA path's at the
+last bit, which can flip floor decisions at knife edges (observed as a
+handful of pixels per ~10^9 in rollout checksums) — ulp-level render
+differences only; dynamics never flow through this kernel.  The mirror
+(ref :431, column
 ``k = R-1-i``) is implemented by feeding the ray fan already reversed
 (``EnvConfig.ray_fan_lut_flipped``) so the kernel writes columns in order.
 
@@ -201,8 +205,10 @@ def render_camera_fused_batched(
     block_envs: int = 0,
 ) -> jax.Array:
     """uint32[B, hpu, R] camera views for the whole batch in one fused
-    Mosaic kernel.  ``num_f``/``denom_f`` are the host-derived float32 render
-    constants (render.render_camera_u32)."""
+    Mosaic kernel (bit-identical to scan+render under CPU interpret;
+    ulp-level pixel differences on TPU hardware — see module docstring).
+    ``num_f``/``denom_f`` are the host-derived float32 render constants
+    (render.render_camera_u32)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -34,7 +34,7 @@ def sample_empty_tile(key: jax.Array, occupied_map: jax.Array) -> jax.Array:
     empty = (~occupied_map.reshape(-1)).astype(jnp.float32)
     c = _prefix_count(empty)
     n = c[-1]
-    u = jax.random.uniform(key, ())
+    u = jax.random.uniform(key, (), dtype=jnp.float32)
     k = jnp.clip(jnp.floor(u * n), 0.0, jnp.maximum(n - 1.0, 0.0))
     idx = jnp.argmax(c > k).astype(jnp.int32)
     return jnp.stack([idx // w, idx % w]).astype(jnp.int32)

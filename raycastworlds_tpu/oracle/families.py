@@ -63,7 +63,7 @@ class OracleWorld(OracleSingleRoom):
         empty = (~occupied.reshape(-1)).astype(np.int32)
         c = np.cumsum(empty)
         n = int(c[-1])
-        u = np.float32(np.asarray(jax.random.uniform(key, ())))
+        u = np.float32(np.asarray(jax.random.uniform(key, (), dtype='float32')))
         kk = int(np.floor(u * np.float32(n)))
         kk = min(max(kk, 0), max(n - 1, 0))
         idx = int(np.argmax(c > kk))

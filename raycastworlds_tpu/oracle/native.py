@@ -61,6 +61,11 @@ def native_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_float, ctypes.c_float, ctypes.c_int,
         i32p, i32p, i32p, f32p,
     ]
+    lib.rcw_cast_crossing.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float,
+        i32p, i32p, i32p, f32p,
+    ]
     lib.rcw_render_camera.argtypes = [
         u8p, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int, f32p,
         i32p, i32p, i32p, f32p,
@@ -127,14 +132,25 @@ class NativeOracleSingleRoom(OracleSingleRoom):
         hit_j = np.zeros(r, np.int32)
         hit_dim = np.zeros(r, np.int32)
         dist = np.zeros(r, np.float32)
-        self._lib.rcw_cast(
-            _ptr(obstacle, ctypes.c_uint8), cfg.H, cfg.W,
-            _ptr(fan, ctypes.c_float), r,
-            ctypes.c_float(self.pos_wu[0]), ctypes.c_float(self.pos_wu[1]),
-            cfg.dda_steps,
-            _ptr(hit_i, ctypes.c_int32), _ptr(hit_j, ctypes.c_int32),
-            _ptr(hit_dim, ctypes.c_int32), _ptr(dist, ctypes.c_float),
-        )
+        if self.cfg.resolved_raycast_backend == "crossing":
+            self._lib.rcw_cast_crossing(
+                _ptr(obstacle, ctypes.c_uint8), cfg.H, cfg.W,
+                _ptr(fan, ctypes.c_float), r,
+                ctypes.c_float(self.pos_wu[0]),
+                ctypes.c_float(self.pos_wu[1]),
+                _ptr(hit_i, ctypes.c_int32), _ptr(hit_j, ctypes.c_int32),
+                _ptr(hit_dim, ctypes.c_int32), _ptr(dist, ctypes.c_float),
+            )
+        else:
+            self._lib.rcw_cast(
+                _ptr(obstacle, ctypes.c_uint8), cfg.H, cfg.W,
+                _ptr(fan, ctypes.c_float), r,
+                ctypes.c_float(self.pos_wu[0]),
+                ctypes.c_float(self.pos_wu[1]),
+                cfg.dda_steps,
+                _ptr(hit_i, ctypes.c_int32), _ptr(hit_j, ctypes.c_int32),
+                _ptr(hit_dim, ctypes.c_int32), _ptr(dist, ctypes.c_float),
+            )
         return fan, np.stack([hit_i, hit_j], -1).astype(np.int32), hit_dim, dist
 
     def camera_view(self) -> np.ndarray:

@@ -76,7 +76,7 @@ class OracleSingleRoom:
         empty = (~occupied.reshape(-1)).astype(np.int32)
         c = np.cumsum(empty)
         n = int(c[-1])
-        u = np.float32(np.asarray(jax.random.uniform(k_spawn, ())))
+        u = np.float32(np.asarray(jax.random.uniform(k_spawn, (), dtype='float32')))
         k = int(np.floor(u * np.float32(n)))
         k = min(max(k, 0), max(n - 1, 0))
         idx = int(np.argmax(c > k))
@@ -179,7 +179,7 @@ class OracleSingleRoom:
         self, obstacle_map: np.ndarray, px: float, py: float, dx: float, dy: float
     ) -> Tuple[int, int, int, float]:
         """Scalar mirror of ops/raycast.cast_rays_crossing — identical
-        float32 expressions per candidate (closed-form ``side0 + k*delta``,
+        float32 expressions per candidate (closed-form ``(frac + k)/|d|``,
         no accumulation), same tie rules, same clip-and-mask handling."""
         h, w = obstacle_map.shape
         big = np.float32(np.finfo(np.float32).max)
@@ -192,21 +192,19 @@ class OracleSingleRoom:
             main0 = int(math.floor(p_main))
             size_main = h if main_is_i else w
             with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
-                delta = (
-                    np.float32(abs(np.float32(1.0) / d_main))
-                    if d_main != 0
-                    else np.float32(np.inf)
-                )
                 step = -1 if d_main < 0 else 1
                 frac = np.float32(p_main - np.float32(math.floor(p_main)))
-                side0 = np.float32(
-                    (frac if d_main < 0 else np.float32(1.0) - frac) * delta
+                frac_sel = np.float32(
+                    frac if d_main < 0 else np.float32(1.0) - frac
                 )
+                ad = np.float32(abs(d_main))
                 best = big
                 kb = 0
                 cb = 0
                 for k in range(n):
-                    t = np.float32(side0 + np.float32(np.float32(k) * delta))
+                    # add-then-divide, matching ops/raycast._crossing_axis
+                    # (no contractible mul+add pattern on either side)
+                    t = np.float32(np.float32(frac_sel + np.float32(k)) / ad)
                     finite = bool(np.isfinite(t))
                     c = (
                         np.float32(p_cross + np.float32(t * d_cross))

@@ -18,9 +18,11 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def test_native_matches_numpy_oracle():
-    a = OracleSingleRoom(CFG)
-    b = NativeOracleSingleRoom(CFG)
+@pytest.mark.parametrize("backend", ["scan", "crossing"])
+def test_native_matches_numpy_oracle(backend):
+    cfg = rcw.config.replace(CFG, raycast_backend=backend)
+    a = OracleSingleRoom(cfg)
+    b = NativeOracleSingleRoom(cfg)
     key = jax.random.PRNGKey(3)
     a.reset(key)
     b.reset(key)
@@ -41,14 +43,16 @@ def test_native_matches_numpy_oracle():
             b.step(act)
 
 
-def test_native_long_trajectory_parity_vs_jax():
+@pytest.mark.parametrize("backend", ["scan", "crossing"])
+def test_native_long_trajectory_parity_vs_jax(backend):
     """The reference test's scale (thousands of steps,
     /root/reference/test/runtests.jl:6) — practical only with the C++ oracle."""
-    game = rcw.SingleRoom(CFG)
+    cfg = rcw.config.replace(CFG, raycast_backend=backend)
+    game = rcw.SingleRoom(cfg)
     reset = jax.jit(game.reset_single)
     step = jax.jit(game.step_single)
     observe = jax.jit(game.observe_single)
-    oracle = NativeOracleSingleRoom(CFG)
+    oracle = NativeOracleSingleRoom(cfg)
 
     key = jax.random.PRNGKey(17)
     state = reset(key)

@@ -155,7 +155,9 @@ def test_pallas_backend_bit_exact_vs_scan():
     (interpreter mode on CPU)."""
     import raycastworlds_tpu as rcw
 
-    cfg_scan = EnvConfig(num_rays=64, height_camera_view_pu=32)
+    cfg_scan = EnvConfig(
+        num_rays=64, height_camera_view_pu=32, raycast_backend="scan"
+    )
     cfg_pl = EnvConfig(
         num_rays=64, height_camera_view_pu=32, raycast_backend="pallas"
     )
