@@ -80,3 +80,63 @@ def test_packed_lookup_fuzz(seed, h, w):
     idx = jnp.asarray(rng.randint(0, h * w, size=(17,)), jnp.int32)
     got = np.asarray(bitmap.lookup_bit(words, idx))
     np.testing.assert_array_equal(got, m.reshape(-1)[np.asarray(idx)])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    h=st.integers(4, 12),
+    w=st.integers(4, 12),
+    density=st.floats(0.0, 0.4),
+    angle=st.floats(0.0, 6.28318),
+)
+def test_crossing_matches_cpp_engine(seed, h, w, density, angle):
+    """Randomized-map fuzz of the jitted crossing backend against the
+    independent C++ rcw_cast_crossing (same closed-form contract)."""
+    import ctypes
+
+    from raycastworlds_tpu.oracle.native import native_lib
+
+    lib = native_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("librefengine.so not built")
+
+    rng = np.random.RandomState(seed)
+    obstacle = rng.rand(h, w) < density
+    obstacle[0, :] = obstacle[-1, :] = True
+    obstacle[:, 0] = obstacle[:, -1] = True
+    empties = np.argwhere(~obstacle)
+    if len(empties) == 0:
+        return
+    oi, oj = empties[rng.randint(len(empties))]
+    px = np.float32(oi + 0.25 + 0.5 * rng.rand())
+    py = np.float32(oj + 0.25 + 0.5 * rng.rand())
+    d = np.array([np.cos(angle), np.sin(angle)], np.float32)
+    d /= np.float32(np.sqrt(np.float32(d[0] * d[0] + d[1] * d[1])))
+
+    words = bitmap.pack_bits(jnp.asarray(obstacle))
+    hit_tu, hit_dim, dist = jax.jit(
+        lambda wds, p, dd: raycast.cast_rays_crossing(wds, (h, w), p, dd)
+    )(words, jnp.asarray([px, py]), jnp.asarray(d)[None, :])
+
+    obs_u8 = np.ascontiguousarray(obstacle, np.uint8)
+    fan = np.ascontiguousarray(d[None, :], np.float32)
+    ci = np.zeros(1, np.int32)
+    cj = np.zeros(1, np.int32)
+    cdim = np.zeros(1, np.int32)
+    cdist = np.zeros(1, np.float32)
+    p32 = ctypes.POINTER(ctypes.c_float)
+    pi32 = ctypes.POINTER(ctypes.c_int32)
+    lib.rcw_cast_crossing(
+        obs_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        fan.ctypes.data_as(p32), 1,
+        ctypes.c_float(px), ctypes.c_float(py),
+        ci.ctypes.data_as(pi32), cj.ctypes.data_as(pi32),
+        cdim.ctypes.data_as(pi32), cdist.ctypes.data_as(p32),
+    )
+    assert int(hit_tu[0, 0]) == int(ci[0])
+    assert int(hit_tu[0, 1]) == int(cj[0])
+    assert int(hit_dim[0]) == int(cdim[0])
+    assert float(dist[0]) == float(cdist[0])
