@@ -20,6 +20,12 @@ import time
 
 import jax
 
+# Persistent XLA compilation cache: the crossing-backend programs take
+# minutes to compile on TPU; caching makes repeat bench invocations (and the
+# driver's end-of-round run) near-instant to warm up.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 # Public v5e chip peaks ("How to Scale Your Model" hardware tables):
 # HBM ~819 GB/s; VPU f32 ~ 4 (8,128)-lane ALU sets at ~0.94 GHz ~= 3.9 Top/s.
@@ -112,7 +118,8 @@ def main() -> None:
     p.add_argument("--map-w", type=int, default=0, help="override map width")
     p.add_argument("--flood-iters", type=int, default=-1, help="random_room reachability budget")
     p.add_argument("--reset-budget", type=int, default=0, help="budgeted auto-reset (0 = dense)")
-    p.add_argument("--raycast", type=str, default="scan", help="scan|analytic|pallas")
+    p.add_argument("--raycast", type=str, default="crossing",
+                   help="crossing|scan|scan_flat|analytic|pallas|fused")
     p.add_argument("--backend", type=str, default="", help="override jax_platforms")
     args = p.parse_args()
 
