@@ -178,8 +178,9 @@ void rcw_cast_crossing(const uint8_t* obstacle, int h, int w,
                 // simultaneous j-crossing has already advanced (<=); at a
                 // j-crossing the simultaneous i-crossing has not (<).
                 if (main_is_i) {
-                    c_tile = d_cross > 0.0f ? std::floor(c)
-                                            : std::ceil(c) - 1.0f;
+                    // d_cross == 0 -> floor, matching the scan's map_j0
+                    c_tile = d_cross >= 0.0f ? std::floor(c)
+                                             : std::ceil(c) - 1.0f;
                 } else {
                     c_tile = d_cross > 0.0f ? std::ceil(c) - 1.0f
                                             : std::floor(c);

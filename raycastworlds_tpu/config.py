@@ -148,8 +148,10 @@ class EnvConfig:
             raise ValueError(f"unknown wall_texture: {self.wall_texture}")
         if self.dtype not in ("float32", "float64"):
             raise ValueError(f"unknown dtype: {self.dtype}")
-        if self.texture_cells < 2:
-            raise ValueError("texture_cells must be >= 2")
+        if not (2 <= self.texture_cells <= 1 << 15):
+            raise ValueError(
+                "texture_cells must be in [2, 32768] (int32 texel math)"
+            )
 
     # ------------------------------------------------------------------
     # Derived static quantities

@@ -233,11 +233,14 @@ class Game:
 
     def _use_fused(self) -> bool:
         """Fused DDA+render kernel: camera observations only, flat shading
-        (textures stay on the scan path until ported into the kernel)."""
+        (textures stay on the scan path until ported into the kernel), and
+        float32 worlds only — the kernel bakes float32 num/denom constants,
+        so an f64 config silently loses the documented scan equivalence."""
         return (
             self.cfg.raycast_backend == "fused"
             and self.cfg.obs_type in ("camera_u32", "camera_rgb", "camera_gray")
             and self.cfg.wall_texture == "none"
+            and self.cfg.dtype == "float32"
         )
 
     def observe_batch(self, state: EnvState) -> jax.Array:

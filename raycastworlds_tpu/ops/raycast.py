@@ -273,7 +273,8 @@ def _crossing_axis(
     p_main: jax.Array,      # f32[]  origin along the crossed axis
     p_cross: jax.Array,     # f32[]  origin along the other axis
     main_is_i: bool,
-    line_words: jax.Array | None = None,  # u32[size_main], bit c = tile occ
+    line_words: jax.Array | None = None,  # u32[size_main, n_lw]; bit c%32 of
+                                          # word c//32 = occupancy of tile c
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """All grid-line crossings of one axis, evaluated in parallel.
 
@@ -314,8 +315,11 @@ def _crossing_axis(
     # (floor for dy>0, ceil-1 for dy<0); at a j-crossing the i count
     # EXcludes simultaneous i-crossings (ceil-1 for dx>0, floor for dx<0).
     if main_is_i:
+        # d_cross == 0 (gridline-parallel ray) takes floor: the sequential
+        # march's map_j never leaves floor(p_cross) when side_j is +inf, so
+        # ceil-1 would probe the tile column *below* the line it slides on.
         c_tile = jnp.where(
-            d_cross[None, :] > 0, jnp.floor(c), jnp.ceil(c) - 1.0
+            d_cross[None, :] >= 0, jnp.floor(c), jnp.ceil(c) - 1.0
         )
     else:
         c_tile = jnp.where(
@@ -326,32 +330,41 @@ def _crossing_axis(
     if line_words is not None:
         # The crossed-axis tile index depends on the ray only through the
         # STEP SIGN (m = main0 + (k+1)*step), so the per-candidate map line
-        # is one of two u32 words selected per env — the occupancy test
-        # collapses to a single shift-and-mask per (ray, candidate) instead
-        # of a 2*n_words select-chain.  Requires the cross axis to fit one
-        # word (size <= 32; every reference-scale map does).
+        # is one of two word rows selected per env — the occupancy test
+        # collapses to n_lw shift-and-masks per (ray, candidate) instead of
+        # a 2*ceil(H*W/32) select-chain.  n_lw = ceil(size_cross/32): 1 for
+        # every reference-scale map, 2 up to 64-wide, growing gracefully —
+        # there is no fallback cliff at 32.
+        n_lw = line_words.shape[-1]
         ks = jnp.arange(n, dtype=jnp.int32)
         m_plus = jnp.clip(main0 + (ks + 1), 0, size_main - 1)    # [N]
         m_minus = jnp.clip(main0 - (ks + 1), 0, size_main - 1)   # [N]
         iota = jnp.arange(size_main, dtype=jnp.int32)
         w_plus = jnp.sum(
             jnp.where(
-                m_plus[:, None] == iota[None, :], line_words[None, :],
-                jnp.uint32(0),
+                m_plus[:, None, None] == iota[None, :, None],
+                line_words[None, :, :], jnp.uint32(0),
             ),
             axis=1,
-        )  # u32[N]
+        )  # u32[N, n_lw]
         w_minus = jnp.sum(
             jnp.where(
-                m_minus[:, None] == iota[None, :], line_words[None, :],
-                jnp.uint32(0),
+                m_minus[:, None, None] == iota[None, :, None],
+                line_words[None, :, :], jnp.uint32(0),
             ),
             axis=1,
         )
-        word = jnp.where(
-            step[None, :] > 0, w_plus[:, None], w_minus[:, None]
-        )  # u32[N, R]
-        occ_bit = ((word >> c_idx.astype(jnp.uint32)) & jnp.uint32(1)) == 1
+        bit = (c_idx & 31).astype(jnp.uint32)
+        occ_bit = jnp.zeros(t.shape, bool)
+        for q in range(n_lw):
+            word_q = jnp.where(
+                step[None, :] > 0, w_plus[:, q][:, None], w_minus[:, q][:, None]
+            )  # u32[N, R]
+            hit_q = ((word_q >> bit) & jnp.uint32(1)) == 1
+            if n_lw == 1:
+                occ_bit = hit_q
+            else:
+                occ_bit = occ_bit | (hit_q & ((c_idx >> 5) == q))
         occ = occ_bit & finite
     else:
         m_idx = main0 + (jnp.arange(n, dtype=jnp.int32)[:, None] + 1) * step[None, :]
@@ -372,6 +385,20 @@ def _crossing_axis(
     c_best = jnp.sum(jnp.where(onehot, c_idx, 0), axis=0)
     m_best = main0 + (kb + 1) * step
     return best, m_best, c_best
+
+
+def _pack_lines(dense: jax.Array) -> jax.Array:
+    """Pack a dense uint32 0/1 map [M, C] into per-line occupancy words
+    u32[M, ceil(C/32)]: bit c%32 of word c//32 = occupancy of tile c."""
+    m, c = dense.shape
+    n_lw = (c + 31) // 32
+    pad = n_lw * 32 - c
+    if pad:
+        dense = jnp.pad(dense, ((0, 0), (0, pad)))
+    grouped = dense.reshape(m, n_lw, 32)
+    return jnp.sum(
+        grouped << jnp.arange(32, dtype=jnp.uint32)[None, None, :], axis=2
+    )
 
 
 def cast_rays_crossing(
@@ -398,7 +425,8 @@ def cast_rays_crossing(
     uncontractible add-then-divide; see _crossing_axis) instead of the scan's
     sequentially accumulated sides — within ~1 ulp of them; hit tiles agree
     with the sequential march everywhere except exact-corner float
-    coincidences.
+    coincidences (rays sliding exactly along a gridline — d_cross == 0 with
+    integer p_cross — take floor(p_cross) like the scan's map index).
     Parity for this backend is pinned against its own scalar-oracle mode
     (oracle/single_room.py cast_one_crossing), same expressions.
     """
@@ -407,15 +435,10 @@ def cast_rays_crossing(
     dy = ray_dirs[:, 1]
     px = pos_wu[0]
     py = pos_wu[1]
-    row_words = col_words = None
-    if h <= 32 and w <= 32:
-        dense = bitmap.unpack_bits(obstacle_words, (h, w)).astype(jnp.uint32)
-        row_words = jnp.sum(
-            dense << jnp.arange(w, dtype=jnp.uint32)[None, :], axis=1
-        )  # u32[H], bit j = tile (i, j)
-        col_words = jnp.sum(
-            dense << jnp.arange(h, dtype=jnp.uint32)[:, None], axis=0
-        )  # u32[W], bit i = tile (i, j)
+    dense = bitmap.unpack_bits(obstacle_words, (h, w)).astype(jnp.uint32)
+    row_words = _pack_lines(dense)      # u32[H, ceil(W/32)], bit j%32 of
+                                        # word j//32 = tile (i, j)
+    col_words = _pack_lines(dense.T)    # u32[W, ceil(H/32)]
     ti, ii, ji = _crossing_axis(
         obstacle_words, (h, w), dx, dy, px, py, main_is_i=True,
         line_words=row_words,

@@ -174,7 +174,10 @@ def _texture_wall(cfg, wall_px, hits: RayHits, pos_wu, height_line, row):
     # float->int transition left is the same floor the slab renderer already
     # takes.  Integer ops are also cheaper than the [H, R] f32 divide on the
     # VPU.
-    cap = 1 << 20  # bounds t * (2*row + h) far below int32 overflow
+    # Bounds t * (2*row + h) below int32 overflow for any texture_cells:
+    # 2^20 for small t (the historical value — bit-identical images), shrunk
+    # so that t * 2 * cap stays under 2^31 when t is large.
+    cap = min(1 << 20, (1 << 30) // (2 * t))
     hl = jnp.flip(height_line, axis=0)  # f32[R] (may be inf)
     h_full = jnp.where(
         jnp.isfinite(hl),

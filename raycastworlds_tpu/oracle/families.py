@@ -184,8 +184,9 @@ class OracleWorld(OracleSingleRoom):
 
         # Integer column height / texel row, exactly as ops/render.py
         # _texture_wall: vi = floor(t*(2*row - hpu + h)/(2*h)) with
-        # h = floor(min(height_line, 2^20)).
-        cap = 1 << 20
+        # h = floor(min(height_line, cap)), cap scaled down for large t so
+        # t * 2 * cap never overflows int32.
+        cap = min(1 << 20, (1 << 30) // (2 * t))
         if np.isfinite(height_line):
             h_full = int(math.floor(min(float(height_line), float(cap))))
         else:

@@ -24,6 +24,21 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 
+def _stale(so: str, srcdir: str) -> bool:
+    """True when the .so predates its sources (refengine.cpp / Makefile) —
+    a stale binary may lack symbols or carry different FMA flags, silently
+    breaking the exact-equality parity assertions."""
+    try:
+        so_mtime = os.path.getmtime(so)
+    except OSError:
+        return True
+    for name in ("refengine.cpp", "Makefile"):
+        src = os.path.join(srcdir, name)
+        if os.path.exists(src) and os.path.getmtime(src) > so_mtime:
+            return True
+    return False
+
+
 def native_lib() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
@@ -32,20 +47,26 @@ def native_lib() -> Optional[ctypes.CDLL]:
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    so = os.path.join(root, "native", "librefengine.so")
-    if not os.path.exists(so):
+    srcdir = os.path.join(root, "native")
+    so = os.path.join(srcdir, "librefengine.so")
+    if not os.path.exists(so) or _stale(so, srcdir):
         import subprocess
 
         try:
             subprocess.run(
-                ["make", "-C", os.path.join(root, "native")],
+                ["make", "-C", srcdir, "librefengine.so"],
                 check=True, capture_output=True, timeout=60,
             )
         except Exception:
-            return None
+            if not os.path.exists(so):
+                return None
     if not os.path.exists(so):
         return None
     lib = ctypes.CDLL(so)
+    for sym in ("rcw_step", "rcw_cast", "rcw_cast_crossing",
+                "rcw_render_camera"):
+        if not hasattr(lib, sym):
+            return None  # stale binary that could not be rebuilt
     u8p = ctypes.POINTER(ctypes.c_uint8)
     f32p = ctypes.POINTER(ctypes.c_float)
     i32p = ctypes.POINTER(ctypes.c_int32)

@@ -212,8 +212,9 @@ class OracleSingleRoom:
                         else np.float32(0.0)
                     )
                     if main_is_i:
+                        # d_cross == 0 -> floor, matching the scan's map_j0
                         c_tile = (
-                            np.floor(c) if d_cross > 0 else np.ceil(c) - np.float32(1.0)
+                            np.floor(c) if d_cross >= 0 else np.ceil(c) - np.float32(1.0)
                         )
                     else:
                         c_tile = (

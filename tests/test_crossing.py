@@ -57,6 +57,62 @@ def test_crossing_matches_scan_on_random_maps():
     assert total > 500
 
 
+def test_crossing_matches_scan_on_large_maps():
+    """Maps wider than 32 tiles use the multi-word line-occupancy path
+    (n_lw >= 2); hit tiles/dims must still agree with the sequential scan
+    — there is no fallback cliff at 32 (round-2 verdict item 4)."""
+    rng = np.random.RandomState(1)
+    for h, w in [(33, 20), (48, 48), (64, 40), (40, 70)]:
+        m = rng.rand(h, w) < 0.15
+        m[0] = m[-1] = True
+        m[:, 0] = m[:, -1] = True
+        free = np.argwhere(~m)
+        ti, tj = free[rng.randint(len(free))]
+        px = ti + rng.rand() * 0.98 + 0.01
+        py = tj + rng.rand() * 0.98 + 0.01
+        ang = rng.rand(32) * 2 * np.pi
+        dirs = jnp.asarray(
+            np.stack([np.cos(ang), np.sin(ang)], -1).astype(np.float32)
+        )
+        words = jnp.asarray(bitmap.pack_bits_np(m))
+        pos = jnp.asarray([px, py], jnp.float32)
+        ht1, hd1, d1 = jax.jit(
+            lambda wo, p, d: raycast.cast_rays_scan(wo, (h, w), p, d, h + w)
+        )(words, pos, dirs)
+        ht2, hd2, d2 = jax.jit(
+            lambda wo, p, d: raycast.cast_rays_crossing(wo, (h, w), p, d)
+        )(words, pos, dirs)
+        np.testing.assert_array_equal(np.asarray(ht1), np.asarray(ht2))
+        np.testing.assert_array_equal(np.asarray(hd1), np.asarray(hd2))
+        np.testing.assert_allclose(
+            np.asarray(d1), np.asarray(d2), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_crossing_gridline_parallel_ray_matches_scan():
+    """A ray sliding exactly along a gridline (d_cross == 0, integer
+    p_cross) must probe the tile row/column the scan probes (floor), not
+    the one below (ADVICE r2: ceil-1 divergence)."""
+    h = w = 8
+    m = np.zeros((h, w), bool)
+    m[0] = m[-1] = True
+    m[:, 0] = m[:, -1] = True
+    m[5, 4] = True  # obstacle touching the j=4 gridline from above
+    words = jnp.asarray(bitmap.pack_bits_np(m))
+    # origin on the gridline j=4.0, heading +i: slides along the line
+    pos = jnp.asarray([2.5, 4.0], jnp.float32)
+    dirs = jnp.asarray([[1.0, 0.0]], jnp.float32)
+    ht_s, hd_s, d_s = jax.jit(
+        lambda wo, p, d: raycast.cast_rays_scan(wo, (h, w), p, d, h + w)
+    )(words, pos, dirs)
+    ht_c, hd_c, d_c = jax.jit(
+        lambda wo, p, d: raycast.cast_rays_crossing(wo, (h, w), p, d)
+    )(words, pos, dirs)
+    np.testing.assert_array_equal(np.asarray(ht_s), np.asarray(ht_c))
+    np.testing.assert_array_equal(np.asarray(hd_s), np.asarray(hd_c))
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_c), rtol=1e-6)
+
+
 @pytest.mark.parametrize("texture", ["none", "checker"])
 def test_crossing_trajectory_parity(texture):
     """Fixed-seed pose + pixel parity vs the scalar crossing oracle."""

@@ -85,8 +85,10 @@ def test_packed_lookup_fuzz(seed, h, w):
 @settings(max_examples=25, deadline=None)
 @given(
     seed=st.integers(0, 10_000),
-    h=st.integers(4, 12),
-    w=st.integers(4, 12),
+    # up to 48 wide: exercises the multi-word (n_lw == 2) line-occupancy
+    # path, not just the single-u32 fast case
+    h=st.integers(4, 48),
+    w=st.integers(4, 48),
     density=st.floats(0.0, 0.4),
     angle=st.floats(0.0, 6.28318),
 )
