@@ -1,21 +1,26 @@
-"""Throughput benchmark: batched SingleRoom env-steps/s with camera-view obs.
+"""Throughput benchmark: batched env-steps/s with camera-view observations.
 
-Workload = BASELINE.json config 2: 1024 envs, 64 rays x 64 px uint32 camera
-observations, auto-reset, whole rollout inside one jitted lax.scan with
-observations consumed on device (reduced to a checksum, never copied to
-host).  The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
-is measured against the BASELINE.json north-star target of 10M env-steps/s
+Run with NO arguments it benches the whole BASELINE table — one row per
+BASELINE.json config plus the per-family rows from docs/RESULTS.md — and
+prints ONE JSON line whose headline ``value`` is the flagship row
+(SingleRoom 4096 envs, 64 rays x 64 px) with every other row under
+``rows``.  With any CLI flag present it benches just that configuration
+(the diagnostic mode used throughout docs/RESULTS.md).
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
+measured against the BASELINE.json north-star target of 10M env-steps/s
 aggregate.
 
 Prints ONE JSON line:
   {"metric": "env_steps_per_sec", "value": N, "unit": "steps/s",
-   "vs_baseline": N / 1e7, ...}
+   "vs_baseline": N / 1e7, "rows": [...], ...}
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import jax
@@ -35,7 +40,7 @@ _V5E_HBM_GBPS = 819.0
 _V5E_VPU_TOPS = 3.9
 
 
-def _roofline(cfg, args, sps: float) -> dict:
+def _roofline(cfg, obs: str, sps: float) -> dict:
     """Lower-bound work model per env-step + % of the binding chip ceiling.
 
     Counts only the dominant, irreducible terms (DDA march arithmetic, per-
@@ -64,23 +69,23 @@ def _roofline(cfg, args, sps: float) -> dict:
     px = hpu * r
     render_ops = 0.0
     obs_bytes = 0.0
-    if args.obs.startswith("camera"):
+    if obs.startswith("camera"):
         per_px = 10.0
         if cfg.wall_texture != "none":
             per_px += 25.0
-        if args.obs == "camera_rgb":
+        if obs == "camera_rgb":
             per_px += 6.0
             # 3-byte obs only: compiled memory analysis shows the u32
             # camera intermediate fuses into the rgb unpack (temp size ~= one
             # rgb frame), so no extra u32 round-trip is charged.
             obs_bytes = px * 3.0
-        elif args.obs == "camera_gray":
+        elif obs == "camera_gray":
             per_px += 8.0
             obs_bytes = px * 4.0
         else:
             obs_bytes = px * 4.0
         render_ops = px * per_px + r * 30.0
-    elif args.obs == "depth":
+    elif obs == "depth":
         render_ops = r * 10.0
         obs_bytes = r * 4.0
     # checksum consumer reads what the renderer wrote (unless XLA fuses the
@@ -99,6 +104,176 @@ def _roofline(cfg, args, sps: float) -> dict:
         "binding": binding,
         "frac_of_roofline": round(sps / min(bound_vpu, bound_hbm), 4),
     }
+
+
+def run_one(
+    game: str = "single_room",
+    num_envs: int = 4096,
+    num_rays: int = 64,
+    height_px: int = 64,
+    steps: int = 512,
+    reps: int = 4,
+    obs: str = "camera_u32",
+    texture: str = "none",
+    map_h: int = 0,
+    map_w: int = 0,
+    flood_iters: int = -1,
+    reset_budget: int = 0,
+    raycast: str = "crossing",
+) -> dict:
+    """Benchmark one configuration; returns the result row dict."""
+    import raycastworlds_tpu as rcw
+    from raycastworlds_tpu.parallel.rollout import steps_per_second_program
+
+    kw = dict(
+        num_rays=num_rays,
+        height_camera_view_pu=height_px,
+        obs_type=obs,
+        raycast_backend=raycast,
+        wall_texture=texture,
+    )
+    if game == "single_room":
+        if map_h:
+            kw.update(height_tile_map_tu=map_h)
+        if map_w:
+            kw.update(width_tile_map_tu=map_w)
+        cfg = rcw.EnvConfig(**kw)
+        env_game = rcw.SingleRoom(cfg)
+    elif game == "random_room":
+        cfg = rcw.RandomRoomConfig(
+            height_tile_map_tu=map_h or 16,
+            width_tile_map_tu=map_w or 16,
+            flood_iters=flood_iters,
+            **kw,
+        )
+        env_game = rcw.RandomRoom(cfg)
+    elif game == "multi_goal":
+        if map_h:
+            kw.update(height_tile_map_tu=map_h)
+        if map_w:
+            kw.update(width_tile_map_tu=map_w)
+        cfg = rcw.MultiGoalConfig(**kw)
+        env_game = rcw.MultiGoalRoom(cfg)
+    elif game == "dynamic_room":
+        if map_h:
+            kw.update(height_tile_map_tu=map_h)
+        if map_w:
+            kw.update(width_tile_map_tu=map_w)
+        cfg = rcw.DynamicRoomConfig(**kw)
+        env_game = rcw.DynamicRoom(cfg)
+    elif game == "maze":
+        cfg = rcw.MazeConfig(
+            height_tile_map_tu=map_h or 17,
+            width_tile_map_tu=map_w or 17,
+            **kw,
+        )
+        env_game = rcw.Maze(cfg)
+    else:
+        raise ValueError(f"unknown game {game}")
+    env = rcw.Env(
+        env_game, num_envs=num_envs, jit=False, reset_budget=reset_budget
+    )
+
+    state, _ = jax.jit(env._reset_impl)(jax.random.PRNGKey(0))
+    run = jax.jit(steps_per_second_program(env, steps), donate_argnums=(0,))
+
+    # warmup / compile.  NOTE: the timed region ends with a host transfer of
+    # the checksum scalar, not block_until_ready — on remote-execution
+    # backends (axon tunnel) block_until_ready can return before the program
+    # actually finishes, which inflates throughput by orders of magnitude.
+    key = jax.random.PRNGKey(1)
+    state, acc = run(state, key)
+    float(acc)
+
+    times = []
+    for r in range(reps):
+        key = jax.random.fold_in(key, r)
+        t0 = time.perf_counter()
+        state, acc = run(state, key)
+        float(acc)
+        times.append(time.perf_counter() - t0)
+
+    # Median rep, not best: with a handful of reps on a shared tunnel the
+    # minimum flatters one lucky scheduling window; the median is stable.
+    med = sorted(times)[len(times) // 2]
+    sps = num_envs * steps / med
+
+    return {
+        "metric": "env_steps_per_sec",
+        "value": round(sps, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(sps / 1e7, 4),
+        "roofline": _roofline(cfg, obs, sps),
+        "config": {
+            "game": game,
+            "num_envs": num_envs,
+            "num_rays": num_rays,
+            "height_px": height_px,
+            "obs": obs,
+            "scan_steps": steps,
+            "reset_budget": reset_budget,
+            "device": str(jax.devices()[0]),
+            "raycast_backend": cfg.raycast_backend,
+        },
+        "times_s": [round(t, 4) for t in times],
+        "checksum": float(acc),
+    }
+
+
+# The standing benchmark table: every BASELINE.json config that runs on one
+# chip, plus the per-family rows from docs/RESULTS.md.  (BASELINE configs 1
+# and 5 are not throughput rows: config 1 is the CPU parity harness —
+# tests/test_parity.py — and config 5 needs a real multi-host slice; its
+# virtual-mesh artifact is bench_scaling.py / MULTICHIP_r*.json.)
+SUITE = [
+    # name, kwargs
+    ("flagship_single_room_4096", dict()),
+    ("config2_single_room_1024", dict(num_envs=1024)),
+    ("config3_random_16x16_rgb128", dict(
+        game="random_room", num_envs=8192, num_rays=256, height_px=128,
+        obs="camera_rgb", reset_budget=256, steps=128, reps=3)),
+    ("config4_maze_32k", dict(
+        game="maze", num_envs=32768, reset_budget=512, steps=256, reps=3)),
+    ("multi_goal_8192", dict(game="multi_goal", num_envs=8192, reps=3)),
+    ("dynamic_room_8192", dict(game="dynamic_room", num_envs=8192, reps=3)),
+    ("ref_default_res_512x256", dict(
+        num_envs=1024, num_rays=512, height_px=256, steps=128, reps=3)),
+    ("single_room_48x48_map", dict(
+        map_h=48, map_w=48, reps=3)),
+]
+
+
+def run_suite() -> None:
+    rows = []
+    for name, kw in SUITE:
+        try:
+            row = run_one(**kw)
+            row["name"] = name
+            rows.append(row)
+        except Exception as e:  # record the failure, keep the table
+            rows.append({"name": name, "error": f"{type(e).__name__}: {e}"})
+        print(
+            f"# {name}: "
+            + (
+                f"{rows[-1]['value']:.0f} steps/s"
+                if "value" in rows[-1]
+                else rows[-1].get("error", "?")
+            ),
+            file=sys.stderr,
+        )
+    head = rows[0] if rows and "value" in rows[0] else {}
+    result = {
+        "metric": "env_steps_per_sec",
+        "value": head.get("value"),
+        "unit": "steps/s",
+        "vs_baseline": head.get("vs_baseline"),
+        "roofline": head.get("roofline"),
+        "config": head.get("config"),
+        "times_s": head.get("times_s"),
+        "checksum": head.get("checksum"),
+        "rows": rows,
+    }
+    print(json.dumps(result))
 
 
 def main() -> None:
@@ -126,102 +301,25 @@ def main() -> None:
     if args.backend:
         jax.config.update("jax_platforms", args.backend)
 
-    import raycastworlds_tpu as rcw
-    from raycastworlds_tpu.parallel.rollout import steps_per_second_program
+    if len(sys.argv) == 1:
+        run_suite()
+        return
 
-    kw = dict(
+    result = run_one(
+        game=args.game,
+        num_envs=args.num_envs,
         num_rays=args.num_rays,
-        height_camera_view_pu=args.height_px,
-        obs_type=args.obs,
-        raycast_backend=args.raycast,
-        wall_texture=args.texture,
+        height_px=args.height_px,
+        steps=args.steps,
+        reps=args.reps,
+        obs=args.obs,
+        texture=args.texture,
+        map_h=args.map_h,
+        map_w=args.map_w,
+        flood_iters=args.flood_iters,
+        reset_budget=args.reset_budget,
+        raycast=args.raycast,
     )
-    if args.game == "single_room":
-        if args.map_h:
-            kw.update(height_tile_map_tu=args.map_h)
-        if args.map_w:
-            kw.update(width_tile_map_tu=args.map_w)
-        cfg = rcw.EnvConfig(**kw)
-        game = rcw.SingleRoom(cfg)
-    elif args.game == "random_room":
-        cfg = rcw.RandomRoomConfig(
-            height_tile_map_tu=args.map_h or 16,
-            width_tile_map_tu=args.map_w or 16,
-            flood_iters=args.flood_iters,
-            **kw,
-        )
-        game = rcw.RandomRoom(cfg)
-    elif args.game == "multi_goal":
-        mk = dict(kw)
-        if args.map_h:
-            mk.update(height_tile_map_tu=args.map_h)
-        if args.map_w:
-            mk.update(width_tile_map_tu=args.map_w)
-        cfg = rcw.MultiGoalConfig(**mk)
-        game = rcw.MultiGoalRoom(cfg)
-    elif args.game == "dynamic_room":
-        dk = dict(kw)
-        if args.map_h:
-            dk.update(height_tile_map_tu=args.map_h)
-        if args.map_w:
-            dk.update(width_tile_map_tu=args.map_w)
-        cfg = rcw.DynamicRoomConfig(**dk)
-        game = rcw.DynamicRoom(cfg)
-    else:
-        cfg = rcw.MazeConfig(
-            height_tile_map_tu=args.map_h or 17,
-            width_tile_map_tu=args.map_w or 17,
-            **kw,
-        )
-        game = rcw.Maze(cfg)
-    env = rcw.Env(game, num_envs=args.num_envs, jit=False, reset_budget=args.reset_budget)
-
-    state, _ = jax.jit(env._reset_impl)(jax.random.PRNGKey(0))
-    run = jax.jit(steps_per_second_program(env, args.steps), donate_argnums=(0,))
-
-    # warmup / compile.  NOTE: the timed region ends with a host transfer of
-    # the checksum scalar, not block_until_ready — on remote-execution
-    # backends (axon tunnel) block_until_ready can return before the program
-    # actually finishes, which inflates throughput by orders of magnitude.
-    key = jax.random.PRNGKey(1)
-    state, acc = run(state, key)
-    float(acc)
-
-    times = []
-    for r in range(args.reps):
-        key = jax.random.fold_in(key, r)
-        t0 = time.perf_counter()
-        state, acc = run(state, key)
-        float(acc)
-        times.append(time.perf_counter() - t0)
-
-    # Median rep, not best: with a handful of reps on a shared tunnel the
-    # minimum flatters one lucky scheduling window; the median is stable.
-    med = sorted(times)[len(times) // 2]
-    sps = args.num_envs * args.steps / med
-
-    roofline = _roofline(cfg, args, sps)
-
-    result = {
-        "metric": "env_steps_per_sec",
-        "value": round(sps, 1),
-        "unit": "steps/s",
-        "vs_baseline": round(sps / 1e7, 4),
-        "roofline": roofline,
-        "config": {
-            "game": args.game,
-            "num_envs": args.num_envs,
-            "num_rays": args.num_rays,
-            "height_px": args.height_px,
-            "obs": args.obs,
-            "scan_steps": args.steps,
-            "reset_budget": args.reset_budget,
-            "device": str(jax.devices()[0]),
-            "raycast_backend": cfg.raycast_backend,
-        },
-        "times_s": [round(t, 4) for t in times],
-        "checksum": float(acc),
-    }
     print(json.dumps(result))
 
 

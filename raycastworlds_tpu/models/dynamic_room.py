@@ -50,14 +50,7 @@ class DynamicRoomConfig(EnvConfig):
 
 def _blocks_to_words(blocks: jax.Array, shape, nw: int) -> jax.Array:
     """Pack block tiles into words arithmetically (K one-hot ORs)."""
-    h, w = shape
-    idx = blocks[:, 0] * w + blocks[:, 1]  # i32[K]
-    word_sel = (idx[:, None] >> 5) == jnp.arange(nw, dtype=jnp.int32)[None, :]
-    bit = jnp.uint32(1) << (idx & 31).astype(jnp.uint32)
-    contrib = jnp.where(word_sel, bit[:, None], jnp.uint32(0))  # [K, nw]
-    return jax.lax.reduce(
-        contrib, jnp.uint32(0), jax.lax.bitwise_or, dimensions=(0,)
-    )
+    return bitmap.tiles_to_words(blocks, shape, nw)
 
 
 class DynamicRoom(Game):
@@ -81,15 +74,19 @@ class DynamicRoom(Game):
         )
 
         wall_words = jnp.asarray(cfg.border_wall_words)
-        walls = jnp.asarray(cfg.border_wall_map)
         goal_tu = sampling.sample_interior_tile(k_goal, h, w)
 
-        occupied = walls.at[goal_tu[0], goal_tu[1]].set(True)
+        # Blocks and spawn via the closed-form interior sampler (bit-identical
+        # to the old dense masked draws over walls|goal|previous-blocks; see
+        # models/multi_goal.py for why this matters under dense auto-reset).
+        ranks = [sampling.interior_rank(goal_tu, w)]
         bkeys = jax.random.split(k_blocks, cfg.num_blocks)
         tiles = []
         for k in range(cfg.num_blocks):
-            b = sampling.sample_empty_tile(bkeys[k], occupied)
-            occupied = occupied.at[b[0], b[1]].set(True)
+            b = sampling.sample_empty_interior_tile(
+                bkeys[k], h, w, jnp.stack(ranks)
+            )
+            ranks.append(sampling.interior_rank(b, w))
             tiles.append(b)
         dirs = jax.random.randint(
             k_dirs, (cfg.num_blocks,), 0, 4, dtype=jnp.int32
@@ -98,7 +95,9 @@ class DynamicRoom(Game):
             [jnp.stack(tiles), dirs[:, None]], axis=1
         )  # [K, 3]
 
-        spawn_tu = sampling.sample_empty_tile(k_spawn, occupied)
+        spawn_tu = sampling.sample_empty_interior_tile(
+            k_spawn, h, w, jnp.stack(ranks)
+        )
         pos_wu = spawn_tu.astype(cfg.float_dtype) + 0.5
         dir_au = sampling.sample_heading(k_dir, cfg.num_directions)
 

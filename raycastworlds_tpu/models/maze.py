@@ -98,11 +98,11 @@ class Maze(Game):
 
         wall_map = self._generate_walls(k_map)
 
-        goal_tu = sampling.sample_empty_tile(k_goal, wall_map)
-        ii = jnp.arange(h)[:, None]
-        jj = jnp.arange(w)[None, :]
-        goal_mask = (ii == goal_tu[0]) & (jj == goal_tu[1])
-        spawn_tu = sampling.sample_empty_tile(k_spawn, wall_map | goal_mask)
+        # goal + spawn with one shared prefix count (bit-identical to two
+        # masked draws; the reset runs every step under dense auto-reset)
+        goal_tu, spawn_tu = sampling.sample_empty_tile_pair(
+            k_goal, k_spawn, wall_map
+        )
         pos_wu = spawn_tu.astype(cfg.float_dtype) + 0.5
         dir_au = sampling.sample_heading(k_dir, cfg.num_directions)
 

@@ -62,26 +62,36 @@ class MultiGoalRoom(Game):
         next_key, k_goals, k_spawn, k_dir = jax.random.split(key, 4)
 
         wall_words = jnp.asarray(cfg.border_wall_words)
-        walls = jnp.asarray(cfg.border_wall_map)
 
-        # K distinct goals, drawn sequentially without replacement (K is
-        # static and small; each draw is one masked-categorical sample).
-        occupied = walls
-        goal_map = jnp.zeros((h, w), bool)
+        # K distinct goals, drawn sequentially without replacement via the
+        # closed-form interior sampler (bit-identical to the old dense
+        # masked-categorical chain; dense auto-reset recomputes every env's
+        # reset every step, so the O(K^2) scalar form vs O(K * H*W) dense
+        # mask/prefix work is the difference between reset-bound and
+        # obs-roofline-bound throughput — docs/RESULTS.md round 3).
         gkeys = jax.random.split(k_goals, cfg.num_goals)
         first_goal = None
         tiles = []
+        ranks = []
         for k in range(cfg.num_goals):
-            g = sampling.sample_empty_tile(gkeys[k], occupied)
+            ex = (
+                jnp.stack(ranks)
+                if ranks
+                else jnp.zeros((0,), jnp.int32)
+            )
+            g = sampling.sample_empty_interior_tile(gkeys[k], h, w, ex)
             if first_goal is None:
                 first_goal = g
-            occupied = occupied.at[g[0], g[1]].set(True)
-            goal_map = goal_map.at[g[0], g[1]].set(True)
+            ranks.append(sampling.interior_rank(g, w))
             tiles.append(g)
-        goal_words = bitmap.pack_bits(goal_map)
         goal_tiles = jnp.stack(tiles).astype(jnp.int32)  # [K, 2]
+        goal_words = bitmap.tiles_to_words(
+            goal_tiles, (h, w), wall_words.shape[-1]
+        )
 
-        spawn_tu = sampling.sample_empty_tile(k_spawn, occupied)
+        spawn_tu = sampling.sample_empty_interior_tile(
+            k_spawn, h, w, jnp.stack(ranks)
+        )
         pos_wu = spawn_tu.astype(cfg.float_dtype) + 0.5
         dir_au = sampling.sample_heading(k_dir, cfg.num_directions)
 

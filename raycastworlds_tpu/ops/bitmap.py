@@ -72,6 +72,24 @@ def pack_bits_np(bool_map) -> "np.ndarray":
     return np.sum(flat * weights, axis=-1, dtype=np.uint64).astype(np.uint32)
 
 
+def tiles_to_words(tiles: jax.Array, shape, nw: int) -> jax.Array:
+    """Pack K point tiles (i32[K, >=2] rows (i, j, ...)) into occupancy
+    words arithmetically — K one-hot ORs, no dense [H, W] map, no scatter.
+    Rows with a negative i are disabled slots and contribute nothing."""
+    h, w = shape
+    idx = tiles[:, 0] * w + tiles[:, 1]  # i32[K]
+    alive = tiles[:, 0] >= 0
+    word_sel = (
+        ((idx[:, None] >> 5) == jnp.arange(nw, dtype=jnp.int32)[None, :])
+        & alive[:, None]
+    )
+    bit = jnp.uint32(1) << (idx & 31).astype(jnp.uint32)
+    contrib = jnp.where(word_sel, bit[:, None], jnp.uint32(0))  # [K, nw]
+    return jax.lax.reduce(
+        contrib, jnp.uint32(0), jax.lax.bitwise_or, dimensions=(0,)
+    )
+
+
 def lookup_bit(words: jax.Array, idx: jax.Array) -> jax.Array:
     """Test bit ``idx`` of packed words.
 

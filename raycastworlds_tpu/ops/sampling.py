@@ -40,6 +40,38 @@ def sample_empty_tile(key: jax.Array, occupied_map: jax.Array) -> jax.Array:
     return jnp.stack([idx // w, idx % w]).astype(jnp.int32)
 
 
+def sample_empty_tile_pair(
+    key_a: jax.Array, key_b: jax.Array, occupied_map: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Two sequential uniform draws — an empty tile, then an empty tile
+    excluding the first — sharing ONE prefix count.
+
+    Bit-identical to ``a = sample_empty_tile(key_a, occ);
+    b = sample_empty_tile(key_b, occ | onehot(a))``: the second draw's rank
+    is bumped past the first tile's empty-rank (which is exactly ``k_a``, no
+    gather needed) on the same inclusive prefix, the order-statistics
+    identity used throughout the closed-form family resets.  Families whose
+    reset draws goal-then-spawn over the same generated map (Maze) halve
+    their per-reset prefix/mask work this way — and dense auto-reset runs
+    the reset every step for every env.
+    """
+    h, w = occupied_map.shape
+    empty = (~occupied_map.reshape(-1)).astype(jnp.float32)
+    c = _prefix_count(empty)
+    n = c[-1]
+    u1 = jax.random.uniform(key_a, (), dtype=jnp.float32)
+    k1 = jnp.clip(jnp.floor(u1 * n), 0.0, jnp.maximum(n - 1.0, 0.0))
+    idx1 = jnp.argmax(c > k1).astype(jnp.int32)
+    n2 = n - 1.0
+    u2 = jax.random.uniform(key_b, (), dtype=jnp.float32)
+    k2 = jnp.clip(jnp.floor(u2 * n2), 0.0, jnp.maximum(n2 - 1.0, 0.0))
+    k2 = k2 + (k1 <= k2)  # bump past the first tile's empty-rank
+    idx2 = jnp.argmax(c > k2).astype(jnp.int32)
+    a = jnp.stack([idx1 // w, idx1 % w]).astype(jnp.int32)
+    b = jnp.stack([idx2 // w, idx2 % w]).astype(jnp.int32)
+    return a, b
+
+
 _PREFIX_BLOCK = 256
 
 
@@ -74,6 +106,44 @@ def _prefix_count(empty: jax.Array) -> jax.Array:
     striu = jnp.asarray(np.triu(np.ones((nb, nb), np.float32), k=1))
     offsets = jnp.dot(totals, striu, preferred_element_type=jnp.float32)
     return (within + offsets[:, None]).reshape(nb * bs)[:nt]
+
+
+def sample_empty_interior_tile(
+    key: jax.Array, h: int, w: int, exclude_ranks: jax.Array
+) -> jax.Array:
+    """Closed-form uniform draw over the interior tiles of a border-walls-only
+    map, minus K excluded tiles — bit-identical to
+    ``sample_empty_tile(key, border_walls | excluded)`` (same uniform draw,
+    same empty count n, same rank->tile row-major order) at O(K) cost
+    instead of the general sampler's O(H*W) mask/prefix work.  Families
+    whose maps are exactly border ring + K point objects (SingleRoom is the
+    K=1 special case inlined in models/single_room.py) reset through this,
+    which matters because dense auto-reset recomputes every env's reset
+    every step.
+
+    ``exclude_ranks``: i32[K] *interior ranks* ``(i-1)*(W-2) + (j-1)`` of
+    distinct excluded interior tiles (K static, may be 0).
+    """
+    wi = w - 2
+    kx = exclude_ranks.shape[0]
+    n = jnp.float32((h - 2) * wi - kx)
+    u = jax.random.uniform(key, (), dtype=jnp.float32)
+    k = jnp.clip(jnp.floor(u * n), 0.0, jnp.maximum(n - 1.0, 0.0)).astype(
+        jnp.int32
+    )
+    # Order statistics over the complement: bump the rank past each excluded
+    # tile at or below it, in ascending order (running r).
+    r = k
+    rs = jnp.sort(exclude_ranks) if kx > 1 else exclude_ranks
+    for q in range(kx):
+        r = r + (rs[q] <= r).astype(jnp.int32)
+    return jnp.stack([1 + r // wi, 1 + r % wi]).astype(jnp.int32)
+
+
+def interior_rank(tile: jax.Array, w: int) -> jax.Array:
+    """Row-major interior rank of an interior tile i32[2] (inverse of the
+    rank->tile mapping in :func:`sample_empty_interior_tile`)."""
+    return (tile[0] - 1) * (w - 2) + (tile[1] - 1)
 
 
 def sample_interior_tile(key: jax.Array, h: int, w: int) -> jax.Array:

