@@ -30,6 +30,12 @@ def main():
     p.add_argument("--height-px", type=int, default=64)
     p.add_argument("--obs", type=str, default="camera_gray")
     p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="network compute dtype (params stay float32)")
+    p.add_argument("--trunk", type=str, default="conv",
+                   choices=["conv", "patch"],
+                   help="image trunk: overlapping convs or 8x8 patch embed")
     p.add_argument("--mesh", action="store_true")
     p.add_argument("--backend", type=str, default="")
     args = p.parse_args()
@@ -47,11 +53,15 @@ def main():
         obs_type=args.obs,
     )
     env = rcw.Env(rcw.SingleRoom(cfg), num_envs=args.num_envs, jit=False)
+    import jax.numpy as jnp
+
     trainer = PPOTrainer(
         env,
         PPOConfig(rollout_steps=args.rollout_steps),
         mesh=mesh_lib.make_mesh() if args.mesh else None,
         hidden=args.hidden,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        trunk=args.trunk,
     )
     ts = trainer.init(jax.random.PRNGKey(0))
     ts, metrics = trainer.train_step(ts)  # compile
@@ -75,6 +85,8 @@ def main():
             "rollout_steps": args.rollout_steps,
             "obs": args.obs,
             "hidden": args.hidden,
+            "dtype": args.dtype,
+            "trunk": args.trunk,
             "device": str(jax.devices()[0]),
             "n_devices": len(jax.devices()) if args.mesh else 1,
         },

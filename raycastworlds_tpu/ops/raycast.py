@@ -340,25 +340,25 @@ def _crossing_axis(
         m_plus = jnp.clip(main0 + (ks + 1), 0, size_main - 1)    # [N]
         m_minus = jnp.clip(main0 - (ks + 1), 0, size_main - 1)   # [N]
         iota = jnp.arange(size_main, dtype=jnp.int32)
-        w_plus = jnp.sum(
-            jnp.where(
-                m_plus[:, None, None] == iota[None, :, None],
-                line_words[None, :, :], jnp.uint32(0),
-            ),
-            axis=1,
-        )  # u32[N, n_lw]
-        w_minus = jnp.sum(
-            jnp.where(
-                m_minus[:, None, None] == iota[None, :, None],
-                line_words[None, :, :], jnp.uint32(0),
-            ),
-            axis=1,
-        )
+        # One-hot row selection with the MAP axis on the VPU lane (minor)
+        # axis: [N, size_main] per env.  (A [N, size_main, n_lw] layout puts
+        # the 1-2-wide word axis minor, padding every op to 128 lanes —
+        # measured as the dominant cast cost at 32k envs.)  n_lw is 1-2, so
+        # the per-word loop is unrolled.
+        onehot_p = m_plus[:, None] == iota[None, :]              # [N, M]
+        onehot_m = m_minus[:, None] == iota[None, :]
         bit = (c_idx & 31).astype(jnp.uint32)
         occ_bit = jnp.zeros(t.shape, bool)
         for q in range(n_lw):
+            lw_q = line_words[:, q]                              # u32[M]
+            w_plus_q = jnp.sum(
+                jnp.where(onehot_p, lw_q[None, :], jnp.uint32(0)), axis=1
+            )  # u32[N]
+            w_minus_q = jnp.sum(
+                jnp.where(onehot_m, lw_q[None, :], jnp.uint32(0)), axis=1
+            )
             word_q = jnp.where(
-                step[None, :] > 0, w_plus[:, q][:, None], w_minus[:, q][:, None]
+                step[None, :] > 0, w_plus_q[:, None], w_minus_q[:, None]
             )  # u32[N, R]
             hit_q = ((word_q >> bit) & jnp.uint32(1)) == 1
             if n_lw == 1:
