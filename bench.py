@@ -106,13 +106,11 @@ def _roofline(cfg, obs: str, sps: float) -> dict:
     }
 
 
-def run_one(
+def build_env(
     game: str = "single_room",
     num_envs: int = 4096,
     num_rays: int = 64,
     height_px: int = 64,
-    steps: int = 512,
-    reps: int = 4,
     obs: str = "camera_u32",
     texture: str = "none",
     map_h: int = 0,
@@ -120,10 +118,10 @@ def run_one(
     flood_iters: int = -1,
     reset_budget: int = 0,
     raycast: str = "crossing",
-) -> dict:
-    """Benchmark one configuration; returns the result row dict."""
+):
+    """Construct the benchmark Env for one workload row (shared with
+    bench_scaling.py)."""
     import raycastworlds_tpu as rcw
-    from raycastworlds_tpu.parallel.rollout import steps_per_second_program
 
     kw = dict(
         num_rays=num_rays,
@@ -170,9 +168,36 @@ def run_one(
         env_game = rcw.Maze(cfg)
     else:
         raise ValueError(f"unknown game {game}")
-    env = rcw.Env(
+    return rcw.Env(
         env_game, num_envs=num_envs, jit=False, reset_budget=reset_budget
     )
+
+
+def run_one(
+    game: str = "single_room",
+    num_envs: int = 4096,
+    num_rays: int = 64,
+    height_px: int = 64,
+    steps: int = 512,
+    reps: int = 4,
+    obs: str = "camera_u32",
+    texture: str = "none",
+    map_h: int = 0,
+    map_w: int = 0,
+    flood_iters: int = -1,
+    reset_budget: int = 0,
+    raycast: str = "crossing",
+) -> dict:
+    """Benchmark one configuration; returns the result row dict."""
+    from raycastworlds_tpu.parallel.rollout import steps_per_second_program
+
+    env = build_env(
+        game=game, num_envs=num_envs, num_rays=num_rays,
+        height_px=height_px, obs=obs, texture=texture, map_h=map_h,
+        map_w=map_w, flood_iters=flood_iters, reset_budget=reset_budget,
+        raycast=raycast,
+    )
+    cfg = env.cfg
 
     state, _ = jax.jit(env._reset_impl)(jax.random.PRNGKey(0))
     run = jax.jit(steps_per_second_program(env, steps), donate_argnums=(0,))

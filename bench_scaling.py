@@ -47,24 +47,33 @@ def main():
     p.add_argument("--num-rays", type=int, default=64)
     p.add_argument("--height-px", type=int, default=64)
     p.add_argument("--steps", type=int, default=256)
+    p.add_argument("--game", type=str, default="single_room")
+    p.add_argument("--obs", type=str, default="camera_u32")
+    p.add_argument("--reset-budget", type=int, default=0,
+                   help="budgeted auto-reset PER DEVICE SHARD scale (scaled "
+                        "by N for the N-device env)")
+    p.add_argument("--map-h", type=int, default=0)
+    p.add_argument("--map-w", type=int, default=0)
     p.add_argument("--backend", type=str, default="")
     args = p.parse_args()
 
     if args.backend:
         jax.config.update("jax_platforms", args.backend)
 
-    import raycastworlds_tpu as rcw
+    from bench import build_env
     from raycastworlds_tpu.parallel import mesh as mesh_lib
 
     n = len(jax.devices())
-    cfg = rcw.EnvConfig(
-        num_rays=args.num_rays, height_camera_view_pu=args.height_px
-    )
+
+    def make(num_envs, budget):
+        return build_env(
+            game=args.game, num_envs=num_envs, num_rays=args.num_rays,
+            height_px=args.height_px, obs=args.obs, map_h=args.map_h,
+            map_w=args.map_w, reset_budget=budget,
+        )
 
     # 1 device
-    env1 = rcw.Env(
-        rcw.SingleRoom(cfg), num_envs=args.envs_per_device, jit=False
-    )
+    env1 = make(args.envs_per_device, args.reset_budget)
     state1, _ = jax.jit(env1._reset_impl)(jax.random.PRNGKey(0))
     state1 = jax.device_put(state1, jax.devices()[0])
     sps1 = measure(env1, state1, args.steps)
@@ -72,13 +81,19 @@ def main():
     result = {
         "metric": "scaling_efficiency",
         "devices": n,
+        "config": {
+            "game": args.game,
+            "obs": args.obs,
+            "envs_per_device": args.envs_per_device,
+            "num_rays": args.num_rays,
+            "height_px": args.height_px,
+            "backend": str(jax.devices()[0].platform),
+        },
         "steps_per_sec_1dev": round(sps1, 1),
     }
 
     if n > 1:
-        envN = rcw.Env(
-            rcw.SingleRoom(cfg), num_envs=args.envs_per_device * n, jit=False
-        )
+        envN = make(args.envs_per_device * n, args.reset_budget * n)
         stateN, _ = jax.jit(envN._reset_impl)(jax.random.PRNGKey(0))
         mesh = mesh_lib.make_mesh()
         stateN = mesh_lib.shard_env_state(stateN, mesh)

@@ -117,6 +117,16 @@ class EnvConfig:
     wall_texture: str = "none"
     # Texels per tile edge for the procedural patterns.
     texture_cells: int = 8
+    # Continuous headings (opt-in; no reference equivalent — the reference's
+    # headings are integer angle units, single_room.jl:46).  The heading
+    # becomes a float in [0, num_directions) (same angle-unit scale, so
+    # num_directions still sets the angle<->radian conversion); turn actions
+    # add +/-turn_increment_au; direction vectors and the ray fan are
+    # computed live (ops/raycast.ray_fan) instead of via the per-heading
+    # LUTs.  Off the parity path: oracles and the reference are discrete.
+    # Requires a general-map raycast backend (crossing or scan).
+    continuous_heading: bool = False
+    turn_increment_au: float = 1.0
     # Geometry precision (the reference is generic over T,
     # /root/reference/src/single_room.jl:42-44): float dtype of positions,
     # ray math and render arithmetic.  "float64" requires JAX x64 mode
@@ -152,6 +162,15 @@ class EnvConfig:
             raise ValueError(
                 "texture_cells must be in [2, 32768] (int32 texel math)"
             )
+        if self.continuous_heading and self.resolved_raycast_backend not in (
+            "crossing", "scan",
+        ):
+            raise ValueError(
+                "continuous_heading requires raycast_backend 'crossing' or "
+                "'scan' (the LUT-free general-map backends)"
+            )
+        if self.turn_increment_au <= 0:
+            raise ValueError("turn_increment_au must be > 0")
 
     # ------------------------------------------------------------------
     # Derived static quantities

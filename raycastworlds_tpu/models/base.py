@@ -34,6 +34,29 @@ class Game:
     def reset_single(self, key: jax.Array) -> EnvState:
         raise NotImplementedError
 
+    # -- heading --------------------------------------------------------
+    # Discrete headings (the reference's angle units) read the precomputed
+    # direction / ray-fan LUTs; continuous headings (cfg.continuous_heading)
+    # compute both live from the float heading.
+
+    def _player_dir(self, state: EnvState) -> jax.Array:
+        cfg = self.cfg
+        dtype = state.pos_wu.dtype
+        if cfg.continuous_heading:
+            ang = state.dir_au.astype(dtype) * (
+                2.0 * jnp.pi / cfg.num_directions
+            )
+            return jnp.stack([jnp.cos(ang), jnp.sin(ang)])
+        return lut.take_rows(
+            jnp.asarray(cfg.directions_wu, dtype), state.dir_au
+        )
+
+    def _ray_dirs(self, state: EnvState) -> jax.Array:
+        cfg = self.cfg
+        if cfg.continuous_heading:
+            return raycast.ray_fan(cfg, self._player_dir(state))
+        return lut.take_rows(jnp.asarray(cfg.ray_fan_lut), state.dir_au)
+
     # -- shared dynamics ------------------------------------------------
 
     def step_single(self, state: EnvState, action: jax.Array) -> EnvState:
@@ -85,9 +108,7 @@ class Game:
         (ref :153-160)."""
         cfg = self.cfg
         dtype = state.pos_wu.dtype
-        dir_wu = lut.take_rows(
-            jnp.asarray(cfg.directions_wu, dtype), state.dir_au
-        )
+        dir_wu = self._player_dir(state)
         moving = action < 2
         sign = jnp.where(action == MOVE_FORWARD, 1.0, -1.0).astype(dtype)
         cand = state.pos_wu + sign * jnp.asarray(
@@ -96,14 +117,18 @@ class Game:
         return moving, cand
 
     def _turned_dir(self, state: EnvState, action: jax.Array, moving):
-        """New heading after a turn action (ref :179-187)."""
+        """New heading after a turn action (ref :179-187); continuous
+        headings turn by ``turn_increment_au`` float angle units."""
         cfg = self.cfg
         turn = jnp.where(
             action == TURN_LEFT, 1, jnp.where(action == TURN_RIGHT, -1, 0)
         )
-        return jnp.mod(
-            state.dir_au + jnp.where(moving, 0, turn), cfg.num_directions
-        )
+        if cfg.continuous_heading:
+            inc = jnp.asarray(cfg.turn_increment_au, state.dir_au.dtype)
+            step = jnp.where(moving, 0.0, turn * inc)
+        else:
+            step = jnp.where(moving, 0, turn)
+        return jnp.mod(state.dir_au + step, cfg.num_directions)
 
     def _packed_maps(self, state: EnvState):
         """(wall_words, obstacle_words): the obstacle map is the union of all
@@ -146,7 +171,9 @@ class Game:
             )
         _, obstacle_words = self._packed_maps(state)
         return raycast.cast_rays(
-            self.cfg, obstacle_words, state.pos_wu, state.dir_au
+            self.cfg, obstacle_words, state.pos_wu, state.dir_au,
+            ray_dirs=self._ray_dirs(state) if self.cfg.continuous_heading
+            else None,
         )
 
     def _block_words(self, state: EnvState):
@@ -162,9 +189,7 @@ class Game:
         self, state: EnvState, hits: raycast.RayHits
     ) -> jax.Array:
         cfg = self.cfg
-        player_dir = lut.take_rows(
-            jnp.asarray(cfg.directions_wu, state.pos_wu.dtype), state.dir_au
-        )
+        player_dir = self._player_dir(state)
         return render.render_observation(
             cfg, state.wall_words, state.goal_tu, player_dir, hits,
             block_words=self._block_words(state),
@@ -203,6 +228,8 @@ class Game:
         cfg = self.cfg
         if self._use_analytic():
             return jax.vmap(self.cast_single)(state)
+        if not (self._use_pallas() or cfg.raycast_backend == "scan_flat"):
+            return jax.vmap(self.cast_single)(state)
         _, obstacle_words = self._packed_maps_batch(state)
         dirs = lut.take_rows(jnp.asarray(cfg.ray_fan_lut), state.dir_au)  # [B, R, 2]
         if self._use_pallas():
@@ -216,7 +243,7 @@ class Game:
                 obstacle_words, (cfg.H, cfg.W), state.pos_wu, dirs,
                 cfg.dda_steps, block_envs=blk,
             )
-        elif cfg.raycast_backend == "scan_flat":
+        else:
             # flattened [B*R]-lane DDA; bit-identical to the vmapped scan but
             # measured slower on v5e (the broadcast packed-words operand gets
             # re-read every iteration) — kept as an explicit option.
@@ -224,9 +251,6 @@ class Game:
                 obstacle_words, (cfg.H, cfg.W), state.pos_wu, dirs,
                 cfg.dda_steps, unroll=cfg.dda_unroll,
             )
-        else:
-            hits = jax.vmap(self.cast_single)(state)
-            return hits
         return raycast.RayHits(
             ray_dirs=dirs, hit_tu=hit_tu, hit_dim=hit_dim, dist_wu=dist
         )
@@ -295,9 +319,7 @@ class Game:
         ``update_camera_view!``, single_room.jl:374-444)."""
         cfg = self.cfg
         hits = self.cast_single(state)
-        player_dir = lut.take_rows(
-            jnp.asarray(cfg.directions_wu, state.pos_wu.dtype), state.dir_au
-        )
+        player_dir = self._player_dir(state)
         return render.render_camera_u32(
             cfg, state.wall_words, player_dir, hits,
             block_words=self._block_words(state),

@@ -99,7 +99,9 @@ class DynamicRoom(Game):
             k_spawn, h, w, jnp.stack(ranks)
         )
         pos_wu = spawn_tu.astype(cfg.float_dtype) + 0.5
-        dir_au = sampling.sample_heading(k_dir, cfg.num_directions)
+        dir_au = sampling.sample_heading(
+            k_dir, cfg.num_directions, cfg.continuous_heading
+        )
 
         zero = jnp.float32(0)
         return EnvState(

@@ -104,7 +104,9 @@ class Maze(Game):
             k_goal, k_spawn, wall_map
         )
         pos_wu = spawn_tu.astype(cfg.float_dtype) + 0.5
-        dir_au = sampling.sample_heading(k_dir, cfg.num_directions)
+        dir_au = sampling.sample_heading(
+            k_dir, cfg.num_directions, cfg.continuous_heading
+        )
 
         zero = jnp.float32(0)
         return EnvState(

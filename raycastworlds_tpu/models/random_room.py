@@ -99,7 +99,9 @@ class RandomRoom(Game):
         spawn_tu = jnp.where(has_valid, sampled, fallback)
         wall_map = wall_map.at[spawn_tu[0], spawn_tu[1]].set(False)
         pos_wu = spawn_tu.astype(cfg.float_dtype) + 0.5
-        dir_au = sampling.sample_heading(k_dir, cfg.num_directions)
+        dir_au = sampling.sample_heading(
+            k_dir, cfg.num_directions, cfg.continuous_heading
+        )
 
         zero = jnp.float32(0)
         return EnvState(

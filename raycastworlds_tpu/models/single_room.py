@@ -45,7 +45,9 @@ class SingleRoom(Game):
         r = k + (k >= goal_rank).astype(jnp.int32)
         spawn_tu = jnp.stack([1 + r // wi, 1 + r % wi]).astype(jnp.int32)
         pos_wu = spawn_tu.astype(cfg.float_dtype) + 0.5  # tile center (ref :125)
-        dir_au = sampling.sample_heading(k_dir, cfg.num_directions)
+        dir_au = sampling.sample_heading(
+            k_dir, cfg.num_directions, cfg.continuous_heading
+        )
 
         zero = jnp.float32(0)
         return EnvState(

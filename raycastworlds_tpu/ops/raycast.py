@@ -273,8 +273,8 @@ def _crossing_axis(
     p_main: jax.Array,      # f32[]  origin along the crossed axis
     p_cross: jax.Array,     # f32[]  origin along the other axis
     main_is_i: bool,
-    line_words: jax.Array | None = None,  # u32[size_main, n_lw]; bit c%32 of
-                                          # word c//32 = occupancy of tile c
+    line_words=None,  # list of u32[size_main] words; bit c%32 of word c//32
+                      # = occupancy of tile c along the line
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """All grid-line crossings of one axis, evaluated in parallel.
 
@@ -335,22 +335,23 @@ def _crossing_axis(
         # a 2*ceil(H*W/32) select-chain.  n_lw = ceil(size_cross/32): 1 for
         # every reference-scale map, 2 up to 64-wide, growing gracefully —
         # there is no fallback cliff at 32.
-        n_lw = line_words.shape[-1]
+        n_lw = len(line_words)
         ks = jnp.arange(n, dtype=jnp.int32)
         m_plus = jnp.clip(main0 + (ks + 1), 0, size_main - 1)    # [N]
         m_minus = jnp.clip(main0 - (ks + 1), 0, size_main - 1)   # [N]
         iota = jnp.arange(size_main, dtype=jnp.int32)
         # One-hot row selection with the MAP axis on the VPU lane (minor)
-        # axis: [N, size_main] per env.  (A [N, size_main, n_lw] layout puts
-        # the 1-2-wide word axis minor, padding every op to 128 lanes —
-        # measured as the dominant cast cost at 32k envs.)  n_lw is 1-2, so
-        # the per-word loop is unrolled.
+        # axis: [N, size_main] per env, one unrolled pass per 32-tile word
+        # (n_lw is 1 up to 32-wide maps, 2 up to 64).  Keeping each word's
+        # lines as a separate [M] vector — rather than a [M, n_lw] array —
+        # avoids both a 1-2-wide minor axis (which pads every op to 128
+        # lanes) and any minor-axis transpose in the packing.
         onehot_p = m_plus[:, None] == iota[None, :]              # [N, M]
         onehot_m = m_minus[:, None] == iota[None, :]
         bit = (c_idx & 31).astype(jnp.uint32)
         occ_bit = jnp.zeros(t.shape, bool)
         for q in range(n_lw):
-            lw_q = line_words[:, q]                              # u32[M]
+            lw_q = line_words[q]                                 # u32[M]
             w_plus_q = jnp.sum(
                 jnp.where(onehot_p, lw_q[None, :], jnp.uint32(0)), axis=1
             )  # u32[N]
@@ -387,18 +388,33 @@ def _crossing_axis(
     return best, m_best, c_best
 
 
-def _pack_lines(dense: jax.Array) -> jax.Array:
-    """Pack a dense uint32 0/1 map [M, C] into per-line occupancy words
-    u32[M, ceil(C/32)]: bit c%32 of word c//32 = occupancy of tile c."""
-    m, c = dense.shape
-    n_lw = (c + 31) // 32
-    pad = n_lw * 32 - c
-    if pad:
-        dense = jnp.pad(dense, ((0, 0), (0, pad)))
-    grouped = dense.reshape(m, n_lw, 32)
-    return jnp.sum(
-        grouped << jnp.arange(32, dtype=jnp.uint32)[None, None, :], axis=2
-    )
+def _row_line_words(dense: jax.Array):
+    """Per-row occupancy words of a dense uint32 0/1 map [H, W]: a list of
+    ceil(W/32) vectors u32[H], word q bit j%32 = tile (i, 32q+j%32).  Lane
+    reductions over column slices — no transpose, no narrow minor axis."""
+    h, w = dense.shape
+    words = []
+    for q in range(0, w, 32):
+        cols = dense[:, q : min(q + 32, w)]
+        k = cols.shape[1]
+        words.append(
+            jnp.sum(cols << jnp.arange(k, dtype=jnp.uint32)[None, :], axis=1)
+        )
+    return words
+
+
+def _col_line_words(dense: jax.Array):
+    """Per-column occupancy words: list of ceil(H/32) vectors u32[W], word q
+    bit i%32 = tile (32q+i%32, j).  Sublane reductions over row slices."""
+    h, w = dense.shape
+    words = []
+    for q in range(0, h, 32):
+        rows = dense[q : min(q + 32, h), :]
+        k = rows.shape[0]
+        words.append(
+            jnp.sum(rows << jnp.arange(k, dtype=jnp.uint32)[:, None], axis=0)
+        )
+    return words
 
 
 def cast_rays_crossing(
@@ -436,9 +452,8 @@ def cast_rays_crossing(
     px = pos_wu[0]
     py = pos_wu[1]
     dense = bitmap.unpack_bits(obstacle_words, (h, w)).astype(jnp.uint32)
-    row_words = _pack_lines(dense)      # u32[H, ceil(W/32)], bit j%32 of
-                                        # word j//32 = tile (i, j)
-    col_words = _pack_lines(dense.T)    # u32[W, ceil(H/32)]
+    row_words = _row_line_words(dense)  # list of u32[H]
+    col_words = _col_line_words(dense)  # list of u32[W]
     ti, ii, ji = _crossing_axis(
         obstacle_words, (h, w), dx, dy, px, py, main_is_i=True,
         line_words=row_words,
@@ -460,12 +475,19 @@ def cast_rays(
     obstacle_words: jax.Array,
     pos_wu: jax.Array,
     dir_au: jax.Array,
+    ray_dirs: jax.Array | None = None,
 ) -> RayHits:
     """Full cast for one env (ref ``cast_rays!``, single_room.jl:195-231):
-    LUT fan lookup (one-hot matmul; ops/lut.py) + packed DDA march."""
+    LUT fan lookup (one-hot matmul; ops/lut.py) + packed DDA march.
+    ``ray_dirs`` overrides the LUT fan (continuous headings compute the fan
+    live)."""
     from . import lut as lut_ops
 
-    dirs = lut_ops.take_rows(jnp.asarray(cfg.ray_fan_lut), dir_au)  # [R, 2]
+    dirs = (
+        ray_dirs
+        if ray_dirs is not None
+        else lut_ops.take_rows(jnp.asarray(cfg.ray_fan_lut), dir_au)
+    )  # [R, 2]
     if cfg.resolved_raycast_backend == "crossing":
         hit_tu, hit_dim, dist = cast_rays_crossing(
             obstacle_words, (cfg.H, cfg.W), pos_wu, dirs

@@ -159,7 +159,14 @@ def sample_interior_tile(key: jax.Array, h: int, w: int) -> jax.Array:
     )
 
 
-def sample_heading(key: jax.Array, num_directions: int) -> jax.Array:
+def sample_heading(
+    key: jax.Array, num_directions: int, continuous: bool = False
+) -> jax.Array:
     """Uniform heading in ``[0, num_directions)``
-    (/root/reference/src/single_room.jl:128)."""
+    (/root/reference/src/single_room.jl:128) — an int32 angle unit, or a
+    float32 when the config opts into continuous headings."""
+    if continuous:
+        return jax.random.uniform(
+            key, (), dtype=jnp.float32, maxval=float(num_directions)
+        )
     return jax.random.randint(key, (), 0, num_directions, dtype=jnp.int32)
