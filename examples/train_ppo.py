@@ -29,6 +29,10 @@ def main():
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-episode-steps", type=int, default=0)
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--trunk", type=str, default="conv",
+                   choices=["conv", "patch"])
     p.add_argument("--mesh", action="store_true",
                    help="shard over all local devices (dp)")
     p.add_argument("--backend", type=str, default="")
@@ -58,6 +62,9 @@ def main():
         PPOConfig(rollout_steps=args.rollout_steps, lr=args.lr),
         mesh=mesh,
         hidden=args.hidden,
+        dtype=(jax.numpy.bfloat16 if args.dtype == "bfloat16"
+               else jax.numpy.float32),
+        trunk=args.trunk,
     )
     ts, history = trainer.train(
         jax.random.PRNGKey(args.seed), args.updates, log_every=10
