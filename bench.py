@@ -257,6 +257,9 @@ SUITE = [
     ("config3_random_16x16_rgb128", dict(
         game="random_room", num_envs=8192, num_rays=256, height_px=128,
         obs="camera_rgb", reset_budget=256, steps=128, reps=3)),
+    ("config3_u32_variant", dict(
+        game="random_room", num_envs=8192, num_rays=256, height_px=128,
+        obs="camera_u32", reset_budget=256, steps=128, reps=3)),
     ("config4_maze_32k", dict(
         game="maze", num_envs=32768, reset_budget=512, steps=256, reps=3)),
     ("multi_goal_8192", dict(game="multi_goal", num_envs=8192, reps=3)),

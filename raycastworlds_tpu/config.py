@@ -70,7 +70,9 @@ class EnvConfig:
     # Observation produced by `step`/`reset`:
     #   "camera_u32" : [H_pu, num_rays] uint32 0x00RRGGBB (reference parity,
     #                  RLBase.state at /root/reference/src/single_room.jl:576)
-    #   "camera_rgb" : [H_pu, num_rays, 3] uint8
+    #   "camera_rgb" : [H_pu, num_rays, 3] uint8 (layout-bound at high res —
+    #                  max-throughput RGB consumers should take camera_u32
+    #                  and unpack consumer-side; docs/RESULTS.md round 3)
     #   "camera_gray": [H_pu, num_rays] float32 in [0, 1]
     #   "depth"      : [num_rays] float32 projected (fisheye-corrected) depth
     #   "tile_grid"  : [H, W] int32 object grid (0 empty / 1 wall / 2 goal)

@@ -219,7 +219,16 @@ def _texture_wall(cfg, wall_px, hits: RayHits, pos_wu, height_line, row):
 
 
 def u32_to_rgb(img: jax.Array) -> jax.Array:
-    """Unpack 0x00RRGGBB -> uint8[..., 3] on device."""
+    """Unpack 0x00RRGGBB -> uint8[..., 3] on device.
+
+    Layout note (measured, docs/RESULTS.md round 3): ANY channels-minor u8
+    observation is layout-bound on TPU — at 8192 envs x 256 rays x 128 px,
+    camera_u32 runs 3.17M steps/s (its HBM roofline) while this 3-wide-minor
+    u8 form runs 1.83M; a byte-swap + ``bitcast_convert_type`` variant
+    producing [..., 4] measured *worse* (1.60M).  Max-throughput RGB
+    consumers should take camera_u32 and unpack on the consumer side where
+    the conversion fuses into their first op (parallel/ppo.preprocess_obs
+    does exactly this)."""
     return jnp.stack(
         [
             (img >> 16) & 0xFF,
