@@ -80,6 +80,41 @@ def test_train_step_single_device():
     )
 
 
+def test_train_step_patch_trunk_bf16():
+    """The throughput trunk (8x8 patch embed) in bf16 compute: train step
+    runs, metrics finite, params move, logits come back f32."""
+    cfg = rcw.EnvConfig(
+        num_rays=16, height_camera_view_pu=16, obs_type="camera_gray"
+    )
+    env = rcw.Env(rcw.SingleRoom(cfg), num_envs=8, jit=False)
+    trainer = PPOTrainer(
+        env,
+        PPOConfig(rollout_steps=8, num_epochs=1, num_minibatches=2),
+        hidden=32,
+        dtype=jnp.bfloat16,
+        trunk="patch",
+    )
+    ts = trainer.init(jax.random.PRNGKey(0))
+    # params are created f32 (mixed precision: bf16 compute only)
+    assert all(
+        leaf.dtype == jnp.float32
+        for leaf in jax.tree_util.tree_leaves(ts.params)
+    )
+    assert any(
+        "patch" in jax.tree_util.keystr(path)
+        for path, _ in jax.tree_util.tree_leaves_with_path(ts.params)
+    )
+    ts2, metrics = trainer.train_step(ts)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    leaves0 = jax.tree_util.tree_leaves(ts.params)
+    leaves1 = jax.tree_util.tree_leaves(ts2.params)
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(leaves0, leaves1)
+    )
+
+
 def test_train_step_sharded_dp_mp():
     """Full SPMD train step over a (dp=4, mp=2) mesh: envs sharded over dp,
     trunk tensor-parallel over mp."""
