@@ -268,7 +268,51 @@ SUITE = [
         num_envs=1024, num_rays=512, height_px=256, steps=128, reps=3)),
     ("single_room_48x48_map", dict(
         map_h=48, map_w=48, reps=3)),
+    ("single_room_32k", dict(num_envs=32768, reps=3)),
 ]
+
+
+def run_ppo_row() -> dict:
+    """Learner-in-the-loop row: env-steps/s through the FULL PPO train step
+    (rollout + GAE + clipped update, one SPMD program) at the bench_ppo
+    config with the throughput trunk (8x8 patch embed, bf16 compute)."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    import raycastworlds_tpu as rcw
+    from raycastworlds_tpu.parallel.ppo import PPOConfig, PPOTrainer
+
+    num_envs, rollout_steps, updates = 2048, 64, 6
+    cfg = rcw.EnvConfig(
+        num_rays=64, height_camera_view_pu=64, obs_type="camera_gray"
+    )
+    env = rcw.Env(rcw.SingleRoom(cfg), num_envs=num_envs, jit=False)
+    trainer = PPOTrainer(
+        env, PPOConfig(rollout_steps=rollout_steps),
+        hidden=256, dtype=jnp.bfloat16, trunk="patch",
+    )
+    ts = trainer.init(jax.random.PRNGKey(0))
+    ts, metrics = trainer.train_step(ts)  # compile
+    float(metrics["loss"])
+    t0 = _time.perf_counter()
+    for _ in range(updates):
+        ts, metrics = trainer.train_step(ts)
+    float(metrics["loss"])
+    dt = _time.perf_counter() - t0
+    sps = num_envs * rollout_steps * updates / dt
+    return {
+        "name": "ppo_train_step_patch_bf16",
+        "metric": "ppo_env_steps_per_sec",
+        "value": round(sps, 1),
+        "unit": "steps/s (through full PPO train step)",
+        "config": {
+            "num_envs": num_envs, "rollout_steps": rollout_steps,
+            "obs": "camera_gray", "hidden": 256, "dtype": "bfloat16",
+            "trunk": "patch", "device": str(jax.devices()[0]),
+        },
+        "seconds": round(dt, 3),
+    }
 
 
 def run_suite() -> None:
@@ -289,6 +333,22 @@ def run_suite() -> None:
             ),
             file=sys.stderr,
         )
+    try:
+        rows.append(run_ppo_row())
+    except Exception as e:
+        rows.append({
+            "name": "ppo_train_step_patch_bf16",
+            "error": f"{type(e).__name__}: {e}",
+        })
+    print(
+        f"# ppo_train_step_patch_bf16: "
+        + (
+            f"{rows[-1]['value']:.0f} steps/s"
+            if "value" in rows[-1]
+            else rows[-1].get("error", "?")
+        ),
+        file=sys.stderr,
+    )
     head = rows[0] if rows and "value" in rows[0] else {}
     result = {
         "metric": "env_steps_per_sec",
