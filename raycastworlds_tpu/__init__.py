@@ -31,6 +31,7 @@ from .models.random_room import RandomRoom, RandomRoomConfig
 from .models.maze import Maze, MazeConfig
 from .models.multi_goal import MultiGoalRoom, MultiGoalConfig
 from .models.dynamic_room import DynamicRoom, DynamicRoomConfig
+from .models.multi_player import MultiPlayerRoom, MultiPlayerConfig
 from .gym_compat import GymAdapter
 from .wrappers import FrameStack, ObsTransform
 from . import colors
@@ -52,6 +53,8 @@ __all__ = [
     "MultiGoalConfig",
     "DynamicRoom",
     "DynamicRoomConfig",
+    "MultiPlayerRoom",
+    "MultiPlayerConfig",
     "GymAdapter",
     "FrameStack",
     "ObsTransform",

@@ -128,8 +128,13 @@ class Env:
         # Envs awaiting a budgeted reset are frozen: their step is discarded.
         frozen = state.pending_reset
         stepped = _select(frozen, state, stepped)
+        # reward may carry a trailing per-player axis (MultiPlayerRoom), so
+        # the frozen mask is broadcast rank-aware.
+        fz = frozen.reshape(
+            frozen.shape + (1,) * (stepped.reward.ndim - frozen.ndim)
+        )
         stepped = stepped.replace(
-            reward=jnp.where(frozen, 0.0, stepped.reward),
+            reward=jnp.where(fz, 0.0, stepped.reward),
             done=jnp.where(frozen, False, stepped.done),
         )
         terminated = stepped.done
@@ -214,8 +219,9 @@ class Env:
         return self._step(state, action)
 
     def sample_action(self, key: jax.Array) -> jax.Array:
+        shape = (self.num_envs,) + getattr(self.game, "action_shape", ())
         return jax.random.randint(
-            key, (self.num_envs,), 0, self.game.num_actions, dtype=jnp.int32
+            key, shape, 0, self.game.num_actions, dtype=jnp.int32
         )
 
     @functools.cached_property

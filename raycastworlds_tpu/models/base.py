@@ -332,6 +332,10 @@ class Game:
     def num_actions(self) -> int:
         return 4
 
+    # Trailing per-env action shape: () for single-player families, (P,)
+    # for MultiPlayerRoom (Env.sample_action and drivers consume this).
+    action_shape: tuple = ()
+
     def action_names(self):
         from ..config import ACTION_NAMES
 

@@ -1,0 +1,308 @@
+"""MultiPlayerRoom: P players in one walled room, shared goal.
+
+No reference equivalent — the reference is strictly single-player
+(/root/reference/src/single_room.jl:21-40 has one position/direction).
+TPU-native multi-agent re-conception: the per-env state carries player
+AXES (``pos_wu[P, 2]``, ``dir_au[P]``, ``reward[P]``) instead of per-player
+structs, every per-player computation is a vectorized axis over the same
+branch-free kernels the single-player families use, and the whole P-player
+step remains one fused program per env batch.
+
+Semantics (each a deliberate, documented choice):
+* All players act SIMULTANEOUSLY: each player's move candidate is tested
+  against walls, the goal, and the OTHER players' current positions
+  (circle-circle at 2r), mirroring DynamicRoom's simultaneous block rule —
+  a player may move into a tile another vacates only next step.
+* Goal contact pays ``goal_reward`` to every scoring player, terminates the
+  episode (``done`` is episode-level, scalar per env), and — the
+  reference's goal-blocks-entry rule per player — does not move scorers.
+* Each player's camera observation is rendered from their own pose;
+  the OTHER players appear as occupying blocks at their current tiles
+  (rendered in the block color pair and occluding like walls) — a
+  tile-resolution approximation of sprite rendering, chosen because it
+  reuses the gather-free point-obstacle cast/render paths unchanged.
+* ``actions`` are int32[..., P]; observations gain a leading player axis
+  per env; rewards are float32[..., P].
+
+Train with independent/parameter-shared policies by folding the player
+axis into the batch axis; the PPO learner in parallel/ppo.py is
+single-agent and does this folding outside (see tests for the pattern).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EnvConfig
+from ..ops import bitmap, collision, lut, raycast, render, sampling
+from ..state import EnvState
+from .base import Game
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiPlayerConfig(EnvConfig):
+    num_players: int = 2
+    # Players block each other (circle-circle at 2*player_radius_wu).
+    player_collision: bool = True
+    # Other players are visible (rendered/occluding as tile blocks).
+    players_visible: bool = True
+
+    def __post_init__(self):
+        super().__post_init__()
+        interior = (self.height_tile_map_tu - 2) * (self.width_tile_map_tu - 2)
+        if not (1 <= self.num_players < interior):
+            raise ValueError(
+                f"num_players must be in [1, {interior}) for this map size"
+            )
+
+    @property
+    def obs_shape(self):
+        base = super().obs_shape
+        return (self.num_players,) + base
+
+
+class MultiPlayerRoom(Game):
+    def __init__(self, cfg: MultiPlayerConfig):
+        if not isinstance(cfg, MultiPlayerConfig):
+            raise TypeError("MultiPlayerRoom requires a MultiPlayerConfig")
+        super().__init__(cfg)
+
+    @property
+    def action_shape(self):
+        return (self.cfg.num_players,)
+
+    # -- reset ----------------------------------------------------------
+
+    def reset_single(self, key: jax.Array) -> EnvState:
+        cfg: MultiPlayerConfig = self.cfg
+        h, w = cfg.H, cfg.W
+        p = cfg.num_players
+        next_key, k_goal, k_spawns, k_dirs = jax.random.split(key, 4)
+
+        wall_words = jnp.asarray(cfg.border_wall_words)
+        goal_tu = sampling.sample_interior_tile(k_goal, h, w)
+
+        # P distinct spawn tiles (closed-form interior sampler, excluding
+        # the goal and previously placed players), centered per tile.
+        ranks = [sampling.interior_rank(goal_tu, w)]
+        skeys = jax.random.split(k_spawns, p)
+        tiles = []
+        for i in range(p):
+            t = sampling.sample_empty_interior_tile(
+                skeys[i], h, w, jnp.stack(ranks)
+            )
+            ranks.append(sampling.interior_rank(t, w))
+            tiles.append(t)
+        spawn = jnp.stack(tiles).astype(jnp.int32)           # [P, 2]
+        pos_wu = spawn.astype(cfg.float_dtype) + 0.5          # [P, 2]
+        dkeys = jax.random.split(k_dirs, p)
+        dir_au = jnp.stack([
+            sampling.sample_heading(
+                dkeys[i], cfg.num_directions, cfg.continuous_heading
+            )
+            for i in range(p)
+        ])                                                    # [P]
+
+        zerop = jnp.zeros((p,), jnp.float32)
+        return EnvState(
+            wall_words=wall_words,
+            hw=(h, w),
+            goal_tu=goal_tu,
+            pos_wu=pos_wu,
+            dir_au=dir_au,
+            reward=zerop,
+            done=jnp.asarray(False),
+            rng_key=next_key,
+            t=jnp.int32(0),
+            episode_return=zerop,
+            pending_reset=jnp.asarray(False),
+        )
+
+    # -- step ------------------------------------------------------------
+
+    def step_single(self, state: EnvState, action: jax.Array) -> EnvState:
+        """Simultaneous P-player step; ``action`` int32[P]."""
+        cfg: MultiPlayerConfig = self.cfg
+        dtype = state.pos_wu.dtype
+        r = cfg.player_radius_wu
+        shape = (cfg.H, cfg.W)
+
+        if cfg.continuous_heading:
+            ang = state.dir_au.astype(dtype) * (
+                2.0 * jnp.pi / cfg.num_directions
+            )
+            dir_wu = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+        else:
+            dir_wu = lut.take_rows(
+                jnp.asarray(cfg.directions_wu, dtype), state.dir_au
+            )                                                  # [P, 2]
+        moving = action < 2                                    # [P]
+        sign = jnp.where(action == 0, 1.0, -1.0).astype(dtype)
+        cand = state.pos_wu + (
+            sign[:, None] * jnp.asarray(cfg.position_increment_wu, dtype)
+            * dir_wu
+        )                                                      # [P, 2]
+
+        hit_goal = moving & jax.vmap(
+            lambda c: collision.is_colliding_with_goal(c, state.goal_tu, r)
+        )(cand)
+        hit_wall = moving & jax.vmap(
+            lambda c: collision.is_player_colliding_packed(
+                state.wall_words, shape, c, r
+            )
+        )(cand)
+
+        if cfg.player_collision:
+            # candidate vs the OTHERS' CURRENT circles (simultaneous rule)
+            d2 = jnp.sum(
+                (cand[:, None, :] - state.pos_wu[None, :, :]) ** 2, axis=-1
+            )                                                  # [P, P]
+            p = cfg.num_players
+            off_diag = ~jnp.eye(p, dtype=bool)
+            thresh = jnp.asarray((2.0 * r) ** 2, dtype)
+            hit_player = moving & jnp.any(off_diag & (d2 < thresh), axis=1)
+        else:
+            hit_player = jnp.zeros_like(moving)
+
+        reward = jnp.where(
+            hit_goal, jnp.asarray(cfg.goal_reward, jnp.float32), 0.0
+        )
+        done = jnp.any(hit_goal)
+        ok = moving & ~hit_goal & ~hit_wall & ~hit_player
+        new_pos = jnp.where(ok[:, None], cand, state.pos_wu)
+
+        turn = jnp.where(action == 2, 1, jnp.where(action == 3, -1, 0))
+        if cfg.continuous_heading:
+            inc = jnp.asarray(cfg.turn_increment_au, state.dir_au.dtype)
+            dstep = jnp.where(moving, 0.0, turn * inc)
+        else:
+            dstep = jnp.where(moving, 0, turn)
+        new_dir = jnp.mod(state.dir_au + dstep, cfg.num_directions)
+
+        return state.replace(
+            pos_wu=new_pos,
+            dir_au=new_dir,
+            reward=reward,
+            done=done,
+            t=state.t + 1,
+            episode_return=state.episode_return + reward,
+        )
+
+    # -- observation ------------------------------------------------------
+
+    def _others_tiles(self, state: EnvState) -> jax.Array:
+        """int32[P, P, 2]: for player p, all players' tiles with row p
+        disabled (-1) — the point obstacles p sees."""
+        tiles = jnp.floor(state.pos_wu).astype(jnp.int32)      # [P, 2]
+        p = self.cfg.num_players
+        self_mask = jnp.eye(p, dtype=bool)[:, :, None]          # [P, P, 1]
+        return jnp.where(self_mask, jnp.int32(-1), tiles[None, :, :])
+
+    def _obstacles_for(self, state: EnvState, others: jax.Array):
+        """(obstacle_words, block_words) for one player: walls | goal |
+        other players; others double as the block render layer."""
+        cfg = self.cfg
+        nw = state.wall_words.shape[-1]
+        _, base = self._packed_maps(state)  # walls | goal
+        if not cfg.players_visible:
+            return base, None
+        blocks = bitmap.tiles_to_words(others, (cfg.H, cfg.W), nw)
+        return base | blocks, blocks
+
+    def _observe_player(self, state: EnvState, others: jax.Array):
+        cfg = self.cfg
+        # NOTE: vmapped over the player axis by the callers; pos/dir here
+        # are one player's.
+        def obs(pos, dir_au):
+            obstacle_words, block_words = self._obstacles_for(state, others)
+            dirs = None
+            if cfg.continuous_heading:
+                ang = dir_au.astype(pos.dtype) * (
+                    2.0 * jnp.pi / cfg.num_directions
+                )
+                pdir = jnp.stack([jnp.cos(ang), jnp.sin(ang)])
+                dirs = raycast.ray_fan(cfg, pdir)
+            else:
+                pdir = lut.take_rows(
+                    jnp.asarray(cfg.directions_wu, pos.dtype), dir_au
+                )
+            hits = raycast.cast_rays(
+                cfg, obstacle_words, pos, dir_au, ray_dirs=dirs
+            )
+            return render.render_observation(
+                cfg, state.wall_words, state.goal_tu, pdir, hits,
+                block_words=block_words, pos_wu=pos,
+            )
+
+        return obs
+
+    def observe_single(self, state: EnvState) -> jax.Array:
+        cfg: MultiPlayerConfig = self.cfg
+        if cfg.obs_type in ("top_u32", "top_rgb"):
+            img = self.top_view_single(state)
+            one = (
+                render.u32_to_rgb(img) if cfg.obs_type == "top_rgb" else img
+            )
+            # top view is whole-world: identical for every player
+            return jnp.broadcast_to(
+                one[None], (cfg.num_players,) + one.shape
+            )
+        others = self._others_tiles(state)
+
+        def one(pos, d, oth):
+            return self._observe_player(state, oth)(pos, d)
+
+        return jax.vmap(one)(state.pos_wu, state.dir_au, others)
+
+    def observe_batch(self, state: EnvState) -> jax.Array:
+        return jax.vmap(self.observe_single)(state)
+
+    def camera_view_single(self, state: EnvState) -> jax.Array:
+        """uint32[P, H_pu, R] camera views (one per player)."""
+        cfg = self.cfg
+        others = self._others_tiles(state)
+
+        def one(pos, d, oth):
+            obstacle_words, block_words = self._obstacles_for(state, oth)
+            pdir = lut.take_rows(
+                jnp.asarray(cfg.directions_wu, pos.dtype), d
+            )
+            hits = raycast.cast_rays(cfg, obstacle_words, pos, d)
+            return render.render_camera_u32(
+                cfg, state.wall_words, pdir, hits,
+                block_words=block_words, pos_wu=pos,
+            )
+
+        return jax.vmap(one)(state.pos_wu, state.dir_au, others)
+
+    def top_view_single(self, state: EnvState) -> jax.Array:
+        """One whole-world top view: player 0's rays/circle, the other
+        players drawn as blocks."""
+        from ..ops import topview
+
+        cfg = self.cfg
+        others0 = self._others_tiles(state)[0]
+        obstacle_words, block_words = self._obstacles_for(state, others0)
+        pos0 = state.pos_wu[0]
+        dir0 = state.dir_au[0]
+        hits = raycast.cast_rays(cfg, obstacle_words, pos0, dir0)
+        return topview.render_top_view(
+            cfg,
+            state.wall_map,
+            state.goal_tu,
+            pos0,
+            cfg.player_radius_pu,
+            hits,
+            block_map=(
+                None
+                if block_words is None
+                else bitmap.unpack_bits(block_words, (cfg.H, cfg.W))
+            ),
+        )
+
+
+def make(cfg: MultiPlayerConfig | None = None, **kw) -> MultiPlayerRoom:
+    return MultiPlayerRoom(cfg if cfg is not None else MultiPlayerConfig(**kw))

@@ -1,0 +1,165 @@
+"""MultiPlayerRoom: P simultaneous players, shared goal, cross-visibility."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import raycastworlds_tpu as rcw
+from raycastworlds_tpu import colors
+from raycastworlds_tpu.config import MOVE_FORWARD, TURN_LEFT
+
+
+CFG = rcw.MultiPlayerConfig(
+    num_players=3, num_rays=24, height_camera_view_pu=24
+)
+
+
+def test_reset_distinct_interior_spawns():
+    game = rcw.MultiPlayerRoom(CFG)
+    state = jax.jit(game.reset_single)(jax.random.PRNGKey(0))
+    pos = np.asarray(state.pos_wu)
+    assert pos.shape == (3, 2)
+    tiles = np.floor(pos).astype(int)
+    # distinct tiles, all interior, none on the goal
+    assert len({tuple(t) for t in tiles}) == 3
+    assert (tiles >= 1).all()
+    assert (tiles[:, 0] <= CFG.H - 2).all() and (tiles[:, 1] <= CFG.W - 2).all()
+    goal = np.asarray(state.goal_tu)
+    assert not any((t == goal).all() for t in tiles)
+    assert np.asarray(state.reward).shape == (3,)
+
+
+def test_env_shapes_and_rollout():
+    env = rcw.Env(rcw.MultiPlayerRoom(CFG), num_envs=4)
+    assert env.observation_space.shape == (3, 24, 24)
+    state, obs = env.reset(jax.random.PRNGKey(1))
+    assert obs.shape == (4, 3, 24, 24)
+    a = env.sample_action(jax.random.PRNGKey(2))
+    assert a.shape == (4, 3)
+    res = env.step(state, a)
+    assert res.reward.shape == (4, 3)
+    assert res.done.shape == (4,)
+    # deterministic under fixed seeds
+    res2 = env.step(state, a)
+    np.testing.assert_array_equal(np.asarray(res.obs), np.asarray(res2.obs))
+
+
+def test_goal_scoring_terminates_and_pays_scorer_only():
+    cfg = rcw.MultiPlayerConfig(
+        num_players=2, num_rays=16, height_camera_view_pu=16
+    )
+    env = rcw.Env(rcw.MultiPlayerRoom(cfg), num_envs=1, auto_reset=False)
+    state, _ = env.reset(jax.random.PRNGKey(3))
+    g = np.asarray(state.goal_tu[0])
+    # park player 0 adjacent to the goal facing it; player 1 far away
+    pos = np.asarray(state.pos_wu[0]).copy()
+    pos[0] = [g[0] + 1.5, g[1] + 0.5]
+    pos[1] = [1.5, 1.5] if not np.allclose([1.5, 1.5], pos[0]) else [2.5, 1.5]
+    state = state.replace(
+        pos_wu=jnp.asarray(pos[None], jnp.float32),
+        dir_au=jnp.asarray([[cfg.num_directions // 2, 0]], jnp.int32),
+    )
+    reward = np.zeros(2, np.float32)
+    for _ in range(6):
+        res = env.step(
+            state, jnp.asarray([[MOVE_FORWARD, TURN_LEFT]], jnp.int32)
+        )
+        state = res.state
+        reward = np.asarray(res.reward[0])
+        if res.done[0]:
+            break
+    assert bool(res.done[0])
+    assert reward[0] == 1.0 and reward[1] == 0.0
+    # scorer did not enter the goal tile (goal-blocks-entry per player)
+    tile0 = np.floor(np.asarray(state.pos_wu[0, 0])).astype(int)
+    assert not (tile0 == g).all()
+
+
+def test_player_collision_blocks():
+    cfg = rcw.MultiPlayerConfig(
+        num_players=2, num_rays=16, height_camera_view_pu=16,
+    )
+    game = rcw.MultiPlayerRoom(cfg)
+    state = jax.jit(game.reset_single)(jax.random.PRNGKey(4))
+    # put the players 2 tiles apart on a row, facing each other
+    state = state.replace(
+        pos_wu=jnp.asarray([[2.5, 2.5], [2.5, 4.5]], jnp.float32),
+        dir_au=jnp.asarray([cfg.num_directions // 4 * 0, 0], jnp.int32),
+        goal_tu=jnp.asarray([5, 10], jnp.int32),
+    )
+    # heading 0 = +x (i axis); make p0 face +j instead: use au = quarter turn
+    q = cfg.num_directions // 4
+    state = state.replace(dir_au=jnp.asarray([q, -q % cfg.num_directions], jnp.int32))
+    step = jax.jit(game.step_single)
+    # march p0 toward p1 (p1 turns in place): blocked before overlap
+    for _ in range(40):
+        state = step(state, jnp.asarray([MOVE_FORWARD, TURN_LEFT], jnp.int32))
+    d = float(jnp.linalg.norm(state.pos_wu[0] - state.pos_wu[1]))
+    assert d >= 2 * cfg.player_radius_wu - 1e-6
+    # with collision off they can overlap
+    cfg2 = rcw.MultiPlayerConfig(
+        num_players=2, num_rays=16, height_camera_view_pu=16,
+        player_collision=False,
+    )
+    game2 = rcw.MultiPlayerRoom(cfg2)
+    state2 = state.replace(
+        pos_wu=jnp.asarray([[2.5, 2.5], [2.5, 4.5]], jnp.float32),
+        dir_au=jnp.asarray([q, 0], jnp.int32),
+    )
+    step2 = jax.jit(game2.step_single)
+    for _ in range(40):
+        state2 = step2(state2, jnp.asarray([MOVE_FORWARD, TURN_LEFT], jnp.int32))
+    # p0 marched straight through p1's position and beyond
+    assert float(state2.pos_wu[0, 1]) > float(state2.pos_wu[1, 1])
+
+
+def test_other_players_visible_as_blocks():
+    cfg = rcw.MultiPlayerConfig(
+        num_players=2, num_rays=32, height_camera_view_pu=32,
+        height_tile_map_tu=8, width_tile_map_tu=16,
+    )
+    game = rcw.MultiPlayerRoom(cfg)
+    state = jax.jit(game.reset_single)(jax.random.PRNGKey(5))
+    # p0 at (4.5, 2.5) facing +j; p1 directly ahead at (4.5, 6.5); goal away
+    q = cfg.num_directions // 4
+    state = state.replace(
+        pos_wu=jnp.asarray([[4.5, 2.5], [4.5, 6.5]], jnp.float32),
+        dir_au=jnp.asarray([q, 0], jnp.int32),
+        goal_tu=jnp.asarray([1, 13], jnp.int32),
+    )
+    obs = jax.jit(game.observe_single)(state)
+    frame0 = np.asarray(obs[0])
+    present = set(np.unique(frame0).tolist())
+    # player 1 renders in the block color pair in p0's view
+    assert present & {colors.BLOCK_DIM_I, colors.BLOCK_DIM_J}
+    # invisible mode: no block colors
+    cfg2 = rcw.MultiPlayerConfig(
+        num_players=2, num_rays=32, height_camera_view_pu=32,
+        height_tile_map_tu=8, width_tile_map_tu=16, players_visible=False,
+    )
+    game2 = rcw.MultiPlayerRoom(cfg2)
+    obs2 = jax.jit(game2.observe_single)(state)
+    present2 = set(np.unique(np.asarray(obs2[0])).tolist())
+    assert not (present2 & {colors.BLOCK_DIM_I, colors.BLOCK_DIM_J})
+
+
+def test_auto_reset_and_truncation():
+    cfg = rcw.MultiPlayerConfig(
+        num_players=2, num_rays=16, height_camera_view_pu=16,
+        max_episode_steps=5,
+    )
+    env = rcw.Env(rcw.MultiPlayerRoom(cfg), num_envs=3)
+    state, _ = env.reset(jax.random.PRNGKey(6))
+    for t in range(5):
+        res = env.step(
+            state, jnp.full((3, 2), TURN_LEFT, jnp.int32)
+        )
+        state = res.state
+    assert bool(np.all(np.asarray(res.done)))          # truncated at t=5
+    assert int(np.max(np.asarray(state.t))) == 0        # auto-reset happened
+
+
+def test_bad_config_raises():
+    with pytest.raises(ValueError, match="num_players"):
+        rcw.MultiPlayerConfig(num_players=0)
