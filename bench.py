@@ -159,6 +159,13 @@ def build_env(
             kw.update(width_tile_map_tu=map_w)
         cfg = rcw.DynamicRoomConfig(**kw)
         env_game = rcw.DynamicRoom(cfg)
+    elif game == "multi_player":
+        if map_h:
+            kw.update(height_tile_map_tu=map_h)
+        if map_w:
+            kw.update(width_tile_map_tu=map_w)
+        cfg = rcw.MultiPlayerConfig(**kw)
+        env_game = rcw.MultiPlayerRoom(cfg)
     elif game == "maze":
         cfg = rcw.MazeConfig(
             height_tile_map_tu=map_h or 17,
@@ -269,6 +276,8 @@ SUITE = [
     ("single_room_48x48_map", dict(
         map_h=48, map_w=48, reps=3)),
     ("single_room_32k", dict(num_envs=32768, reps=3)),
+    ("multi_player_2p_4096", dict(
+        game="multi_player", num_envs=4096, reps=3)),
 ]
 
 
@@ -374,7 +383,7 @@ def main() -> None:
     p.add_argument("--obs", type=str, default="camera_u32")
     p.add_argument("--game", type=str, default="single_room",
                    choices=["single_room", "random_room", "maze",
-                            "multi_goal", "dynamic_room"])
+                            "multi_goal", "dynamic_room", "multi_player"])
     p.add_argument("--texture", type=str, default="none",
                    help="wall texture: none|checker|brick|xor")
     p.add_argument("--map-h", type=int, default=0, help="override map height")

@@ -40,7 +40,9 @@ def rollout_random(
         state, key = carry
         key, k_act = jax.random.split(key)
         a = jax.random.randint(
-            k_act, (env.num_envs,), 0, env.game.num_actions, dtype=jnp.int32
+            k_act,
+            (env.num_envs,) + getattr(env.game, "action_shape", ()),
+            0, env.game.num_actions, dtype=jnp.int32,
         )
         res = env._step_impl(state, a)
         return (res.state, key), Trajectory(
@@ -94,7 +96,8 @@ def steps_per_second_program(env: Env, num_steps: int):
         # to every iteration for no benefit (uniform policy).
         actions = jax.random.randint(
             key,
-            (num_steps, env.num_envs),
+            (num_steps, env.num_envs)
+            + getattr(env.game, "action_shape", ()),
             0,
             env.game.num_actions,
             dtype=jnp.int32,
