@@ -28,6 +28,11 @@ class GymAdapter:
     metadata = {"render_modes": ["rgb_array"]}
 
     def __init__(self, game: Game, max_episode_steps: Optional[int] = None):
+        if getattr(game, "action_shape", ()) != ():
+            raise ValueError(
+                "GymAdapter is single-agent (scalar action/reward per env); "
+                "drive MultiPlayerRoom through the batched Env API instead"
+            )
         self._env = Env(game, num_envs=1, auto_reset=False)
         self._state = None
         self._key = jax.random.PRNGKey(0)

@@ -163,3 +163,8 @@ def test_auto_reset_and_truncation():
 def test_bad_config_raises():
     with pytest.raises(ValueError, match="num_players"):
         rcw.MultiPlayerConfig(num_players=0)
+
+
+def test_gym_adapter_rejects_multi_player():
+    with pytest.raises(ValueError, match="single-agent"):
+        rcw.GymAdapter(rcw.MultiPlayerRoom(CFG))
