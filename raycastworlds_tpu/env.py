@@ -99,7 +99,13 @@ class Env:
 
     @property
     def action_space(self) -> Space:
-        return Space(shape=(), dtype=jnp.int32, n=self.game.num_actions)
+        # Per-env action shape: () for single-player families, (P,) for
+        # MultiPlayerRoom — matches what sample_action returns per env.
+        return Space(
+            shape=getattr(self.game, "action_shape", ()),
+            dtype=jnp.int32,
+            n=self.game.num_actions,
+        )
 
     @property
     def observation_space(self) -> Space:

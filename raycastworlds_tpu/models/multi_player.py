@@ -12,7 +12,10 @@ Semantics (each a deliberate, documented choice):
 * All players act SIMULTANEOUSLY: each player's move candidate is tested
   against walls, the goal, and the OTHER players' current positions
   (circle-circle at 2r), mirroring DynamicRoom's simultaneous block rule —
-  a player may move into a tile another vacates only next step.
+  a player may move into a tile another vacates only next step.  Candidates
+  converging on the same point are resolved deterministically: the lower
+  player index wins, the higher is blocked (so pairwise separation >= 2r is
+  a step invariant when ``player_collision`` is on).
 * Goal contact pays ``goal_reward`` to every scoring player, terminates the
   episode (``done`` is episode-level, scalar per env), and — the
   reference's goal-blocks-entry rule per player — does not move scorers.
@@ -156,14 +159,36 @@ class MultiPlayerRoom(Game):
         )(cand)
 
         if cfg.player_collision:
-            # candidate vs the OTHERS' CURRENT circles (simultaneous rule)
-            d2 = jnp.sum(
-                (cand[:, None, :] - state.pos_wu[None, :, :]) ** 2, axis=-1
-            )                                                  # [P, P]
+            # Simultaneous-move collision, two tests:
+            # 1. candidate vs the OTHERS' CURRENT circles — a player may
+            #    move into space another vacates only next step;
+            # 2. candidate vs LOWER-INDEX movers' candidates — two players
+            #    converging on the same point would otherwise both pass and
+            #    interpenetrate; the deterministic tie-break is that the
+            #    lower player index wins (moves) and the higher is blocked.
+            # Together (with spawns on distinct tiles) these keep pairwise
+            # distance >= 2r invariantly: moved-vs-held pairs are covered by
+            # test 1, moved-vs-moved pairs by test 2.
             p = cfg.num_players
             off_diag = ~jnp.eye(p, dtype=bool)
             thresh = jnp.asarray((2.0 * r) ** 2, dtype)
+            d2 = jnp.sum(
+                (cand[:, None, :] - state.pos_wu[None, :, :]) ** 2, axis=-1
+            )                                                  # [P, P]
             hit_player = moving & jnp.any(off_diag & (d2 < thresh), axis=1)
+            # Lower-index movers that pass test 1 (and walls/goal) block
+            # higher-index candidates that land within 2r of THEIR candidate.
+            base_ok = moving & ~hit_goal & ~hit_wall & ~hit_player
+            c2 = jnp.sum(
+                (cand[:, None, :] - cand[None, :, :]) ** 2, axis=-1
+            )                                                  # [P, P]
+            lower = (
+                jnp.arange(p)[None, :] < jnp.arange(p)[:, None]
+            )                                                  # [P, P] j < i
+            hit_cand = jnp.any(
+                lower & base_ok[None, :] & (c2 < thresh), axis=1
+            )
+            hit_player = hit_player | (moving & hit_cand)
         else:
             hit_player = jnp.zeros_like(moving)
 
@@ -212,23 +237,28 @@ class MultiPlayerRoom(Game):
         blocks = bitmap.tiles_to_words(others, (cfg.H, cfg.W), nw)
         return base | blocks, blocks
 
+    def _player_pose_dirs(self, pos, dir_au):
+        """(player_dir, ray_dirs-or-None) for ONE player's pose — the
+        continuous-heading-aware twin of Game._player_dir/_ray_dirs (which
+        read the whole-state scalar pose and don't apply per player)."""
+        cfg = self.cfg
+        if cfg.continuous_heading:
+            ang = dir_au.astype(pos.dtype) * (
+                2.0 * jnp.pi / cfg.num_directions
+            )
+            pdir = jnp.stack([jnp.cos(ang), jnp.sin(ang)])
+            return pdir, raycast.ray_fan(cfg, pdir)
+        return lut.take_rows(
+            jnp.asarray(cfg.directions_wu, pos.dtype), dir_au
+        ), None
+
     def _observe_player(self, state: EnvState, others: jax.Array):
         cfg = self.cfg
         # NOTE: vmapped over the player axis by the callers; pos/dir here
         # are one player's.
         def obs(pos, dir_au):
             obstacle_words, block_words = self._obstacles_for(state, others)
-            dirs = None
-            if cfg.continuous_heading:
-                ang = dir_au.astype(pos.dtype) * (
-                    2.0 * jnp.pi / cfg.num_directions
-                )
-                pdir = jnp.stack([jnp.cos(ang), jnp.sin(ang)])
-                dirs = raycast.ray_fan(cfg, pdir)
-            else:
-                pdir = lut.take_rows(
-                    jnp.asarray(cfg.directions_wu, pos.dtype), dir_au
-                )
+            pdir, dirs = self._player_pose_dirs(pos, dir_au)
             hits = raycast.cast_rays(
                 cfg, obstacle_words, pos, dir_au, ray_dirs=dirs
             )
@@ -267,10 +297,8 @@ class MultiPlayerRoom(Game):
 
         def one(pos, d, oth):
             obstacle_words, block_words = self._obstacles_for(state, oth)
-            pdir = lut.take_rows(
-                jnp.asarray(cfg.directions_wu, pos.dtype), d
-            )
-            hits = raycast.cast_rays(cfg, obstacle_words, pos, d)
+            pdir, dirs = self._player_pose_dirs(pos, d)
+            hits = raycast.cast_rays(cfg, obstacle_words, pos, d, ray_dirs=dirs)
             return render.render_camera_u32(
                 cfg, state.wall_words, pdir, hits,
                 block_words=block_words, pos_wu=pos,
@@ -288,7 +316,8 @@ class MultiPlayerRoom(Game):
         obstacle_words, block_words = self._obstacles_for(state, others0)
         pos0 = state.pos_wu[0]
         dir0 = state.dir_au[0]
-        hits = raycast.cast_rays(cfg, obstacle_words, pos0, dir0)
+        _, dirs0 = self._player_pose_dirs(pos0, dir0)
+        hits = raycast.cast_rays(cfg, obstacle_words, pos0, dir0, ray_dirs=dirs0)
         return topview.render_top_view(
             cfg,
             state.wall_map,

@@ -58,8 +58,10 @@ def native_lib() -> Optional[ctypes.CDLL]:
                 check=True, capture_output=True, timeout=60,
             )
         except Exception:
-            if not os.path.exists(so):
-                return None
+            # A stale binary that failed to rebuild is exactly the
+            # different-FMA-flags hazard _stale documents — refuse to load
+            # it rather than risk silently breaking exact-equality parity.
+            return None
     if not os.path.exists(so):
         return None
     lib = ctypes.CDLL(so)

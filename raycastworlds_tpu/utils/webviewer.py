@@ -77,6 +77,12 @@ class WebPlaySession:
                 ),
                 num_envs=1,
             )
+        if getattr(env.game, "action_shape", ()) != ():
+            raise ValueError(
+                "WebPlaySession drives single-agent games (per-env action "
+                "shape ()); MultiPlayerRoom needs a per-player action vector "
+                "a browser key can't express"
+            )
         self.env = env
         self.seed = seed
         self._camera = jax.jit(jax.vmap(env.game.camera_view_single))
@@ -173,7 +179,7 @@ class WebViewer:
     """HTTP server around a :class:`WebPlaySession`.  ``port=0`` binds an
     ephemeral port (see ``.port``)."""
 
-    def __init__(self, env=None, seed: int = 0, host: str = "0.0.0.0",
+    def __init__(self, env=None, seed: int = 0, host: str = "127.0.0.1",
                  port: int = 8000):
         self.session = WebPlaySession(env, seed)
         self._httpd = ThreadingHTTPServer(
@@ -197,7 +203,7 @@ class WebViewer:
             self._thread = None
 
 
-def play_web(env=None, seed: int = 0, host: str = "0.0.0.0",
+def play_web(env=None, seed: int = 0, host: str = "127.0.0.1",
              port: int = 8000) -> None:
     """Serve the interactive play page until the browser sends 'q'."""
     import time
@@ -218,7 +224,8 @@ def main(argv=None) -> None:
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--port", type=int, default=8000)
-    p.add_argument("--host", type=str, default="0.0.0.0")
+    p.add_argument("--host", type=str, default="127.0.0.1",
+                   help="bind address (0.0.0.0 opt-in exposes unauthenticated env control)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     play_web(seed=args.seed, host=args.host, port=args.port)

@@ -114,6 +114,34 @@ def test_player_collision_blocks():
     assert float(state2.pos_wu[0, 1]) > float(state2.pos_wu[1, 1])
 
 
+def test_converging_candidates_lower_index_wins():
+    """Two players converging on the same point in one step: without the
+    candidate-vs-candidate test both would pass (each candidate clears the
+    other's CURRENT circle) and interpenetrate; the deterministic rule is
+    that the lower index moves and the higher is blocked."""
+    cfg = rcw.MultiPlayerConfig(
+        num_players=2, num_rays=16, height_camera_view_pu=16,
+    )
+    game = rcw.MultiPlayerRoom(cfg)
+    state = jax.jit(game.reset_single)(jax.random.PRNGKey(7))
+    q = cfg.num_directions // 4
+    # 0.4 wu apart on a j-row, facing each other; one forward step of 0.125
+    # puts the candidates 0.15 < 2r = 0.25 apart while each candidate stays
+    # 0.275 >= 2r from the other's current position.
+    state = state.replace(
+        pos_wu=jnp.asarray([[2.5, 2.3], [2.5, 2.7]], jnp.float32),
+        dir_au=jnp.asarray([q, 3 * q], jnp.int32),
+        goal_tu=jnp.asarray([5, 10], jnp.int32),
+    )
+    out = jax.jit(game.step_single)(
+        state, jnp.asarray([MOVE_FORWARD, MOVE_FORWARD], jnp.int32)
+    )
+    pos = np.asarray(out.pos_wu)
+    np.testing.assert_allclose(pos[0], [2.5, 2.425], atol=1e-6)  # moved
+    np.testing.assert_allclose(pos[1], [2.5, 2.7], atol=1e-6)    # blocked
+    assert np.linalg.norm(pos[0] - pos[1]) >= 2 * cfg.player_radius_wu - 1e-6
+
+
 def test_other_players_visible_as_blocks():
     cfg = rcw.MultiPlayerConfig(
         num_players=2, num_rays=32, height_camera_view_pu=32,
