@@ -52,6 +52,9 @@ def _roofline(cfg, obs: str, sps: float) -> dict:
     hpu = cfg.height_camera_view_pu
     h, w = cfg.H, cfg.W
     nw = (h * w + 31) // 32
+    # MultiPlayerRoom renders one camera per player per env-step: obs bytes,
+    # DDA and render work all scale with the player axis.
+    players = getattr(cfg, "num_players", 1)
 
     # DDA: ops per lane per iteration (compare/min/4 blended adds/index/
     # word-select chain/shift-mask/3 hit updates) — ~30 + 2 ops per packed
@@ -82,6 +85,12 @@ def _roofline(cfg, obs: str, sps: float) -> dict:
         elif obs == "camera_gray":
             per_px += 8.0
             obs_bytes = px * 4.0
+        elif obs == "camera_gray_u8":
+            per_px += 8.0
+            obs_bytes = px * 1.0
+        elif obs == "camera_pal8":
+            # same select structure as u32, 1-byte stores
+            obs_bytes = px * 1.0
         else:
             obs_bytes = px * 4.0
         render_ops = px * per_px + r * 30.0
@@ -90,9 +99,9 @@ def _roofline(cfg, obs: str, sps: float) -> dict:
         obs_bytes = r * 4.0
     # checksum consumer reads what the renderer wrote (unless XLA fuses the
     # two, in which case measured utilization can exceed this bound).
-    hbm_bytes = 2.0 * obs_bytes
+    hbm_bytes = 2.0 * obs_bytes * players
 
-    vpu_ops = dda_ops + render_ops
+    vpu_ops = (dda_ops + render_ops) * players
     bound_vpu = _V5E_VPU_TOPS * 1e12 / max(vpu_ops, 1.0)
     bound_hbm = _V5E_HBM_GBPS * 1e9 / max(hbm_bytes, 1.0)
     binding = "vpu" if bound_vpu < bound_hbm else "hbm"
@@ -278,6 +287,15 @@ SUITE = [
     ("single_room_32k", dict(num_envs=32768, reps=3)),
     ("multi_player_2p_4096", dict(
         game="multi_player", num_envs=4096, reps=3)),
+    # 1-byte lossless palette-index observations: 1/4 the obs HBM traffic of
+    # camera_u32 on the three HBM-bound headline shapes.
+    ("flagship_pal8_4096", dict(obs="camera_pal8")),
+    ("config3_pal8", dict(
+        game="random_room", num_envs=8192, num_rays=256, height_px=128,
+        obs="camera_pal8", reset_budget=256, steps=128, reps=3)),
+    ("ref_default_res_pal8", dict(
+        num_envs=1024, num_rays=512, height_px=256, obs="camera_pal8",
+        steps=128, reps=3)),
 ]
 
 

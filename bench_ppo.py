@@ -36,6 +36,10 @@ def main():
     p.add_argument("--trunk", type=str, default="conv",
                    choices=["conv", "patch"],
                    help="image trunk: overlapping convs or 8x8 patch embed")
+    p.add_argument("--game", type=str, default="single_room",
+                   choices=["single_room", "multi_player"])
+    p.add_argument("--num-players", type=int, default=2,
+                   help="players per env (multi_player; one shared policy)")
     p.add_argument("--mesh", action="store_true")
     p.add_argument("--backend", type=str, default="")
     args = p.parse_args()
@@ -47,12 +51,18 @@ def main():
     from raycastworlds_tpu.parallel import mesh as mesh_lib
     from raycastworlds_tpu.parallel.ppo import PPOConfig, PPOTrainer
 
-    cfg = rcw.EnvConfig(
+    kw = dict(
         num_rays=args.num_rays,
         height_camera_view_pu=args.height_px,
         obs_type=args.obs,
     )
-    env = rcw.Env(rcw.SingleRoom(cfg), num_envs=args.num_envs, jit=False)
+    if args.game == "multi_player":
+        game = rcw.MultiPlayerRoom(
+            rcw.MultiPlayerConfig(num_players=args.num_players, **kw)
+        )
+    else:
+        game = rcw.SingleRoom(rcw.EnvConfig(**kw))
+    env = rcw.Env(game, num_envs=args.num_envs, jit=False)
     import jax.numpy as jnp
 
     trainer = PPOTrainer(
@@ -81,6 +91,10 @@ def main():
         "unit": "steps/s (through full PPO train step)",
         "vs_baseline": round(sps / 1e7, 4),
         "config": {
+            "game": args.game,
+            "num_players": (
+                args.num_players if args.game == "multi_player" else 1
+            ),
             "num_envs": args.num_envs,
             "rollout_steps": args.rollout_steps,
             "obs": args.obs,

@@ -17,8 +17,12 @@ import jax
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--game", choices=["single_room", "random_room", "maze"],
+    p.add_argument("--game",
+                   choices=["single_room", "random_room", "maze",
+                            "multi_player"],
                    default="single_room")
+    p.add_argument("--num-players", type=int, default=2,
+                   help="players per env (multi_player; one shared policy)")
     p.add_argument("--num-envs", type=int, default=256)
     p.add_argument("--updates", type=int, default=100)
     p.add_argument("--rollout-steps", type=int, default=64)
@@ -52,6 +56,9 @@ def main():
     elif args.game == "random_room":
         game = rcw.RandomRoom(rcw.RandomRoomConfig(
             height_tile_map_tu=16, width_tile_map_tu=16, **kw))
+    elif args.game == "multi_player":
+        game = rcw.MultiPlayerRoom(rcw.MultiPlayerConfig(
+            num_players=args.num_players, **kw))
     else:
         game = rcw.Maze(rcw.MazeConfig(**kw))
 

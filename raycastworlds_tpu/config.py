@@ -74,6 +74,14 @@ class EnvConfig:
     #                  max-throughput RGB consumers should take camera_u32
     #                  and unpack consumer-side; docs/RESULTS.md round 3)
     #   "camera_gray": [H_pu, num_rays] float32 in [0, 1]
+    #   "camera_pal8": [H_pu, num_rays] uint8 palette index into
+    #                  colors.PALETTE — LOSSLESS (the scene is 12 colors) at
+    #                  1/4 the bytes of camera_u32; the max-throughput camera
+    #                  form (every headline row is HBM-obs-bound).  Decode
+    #                  with ops.render.pal8_to_u32 / colors.pal8_to_u32_np;
+    #                  incompatible with wall textures (continuous shading)
+    #   "camera_gray_u8": [H_pu, num_rays] uint8 luma in [0, 255] (1-byte
+    #                  grayscale; planar, ray axis minor)
     #   "depth"      : [num_rays] float32 projected (fisheye-corrected) depth
     #   "tile_grid"  : [H, W] int32 object grid (0 empty / 1 wall / 2 goal)
     #   "top_u32"    : [H*ppt, W*ppt] uint32 top view (debug; heavier)
@@ -147,10 +155,17 @@ class EnvConfig:
         if self.num_directions < 1:
             raise ValueError("num_directions must be >= 1")
         if self.obs_type not in (
-            "camera_u32", "camera_rgb", "camera_gray", "depth", "tile_grid",
-            "top_u32", "top_rgb",
+            "camera_u32", "camera_rgb", "camera_gray", "camera_pal8",
+            "camera_gray_u8", "depth", "tile_grid", "top_u32", "top_rgb",
         ):
             raise ValueError(f"unknown obs_type: {self.obs_type}")
+        if self.obs_type == "camera_pal8" and self.wall_texture != "none":
+            raise ValueError(
+                "obs_type 'camera_pal8' requires wall_texture 'none': "
+                "procedural textures modulate brightness continuously, which "
+                "a 12-entry palette index cannot represent losslessly "
+                "(use camera_u32/camera_gray_u8 for textured walls)"
+            )
         if self.raycast_backend not in (
             "scan", "scan_flat", "crossing", "analytic", "pallas", "fused",
             "auto",
@@ -213,6 +228,8 @@ class EnvConfig:
         if self.obs_type == "camera_rgb":
             return (self.height_camera_view_pu, self.num_rays, 3)
         if self.obs_type == "camera_gray":
+            return (self.height_camera_view_pu, self.num_rays)
+        if self.obs_type in ("camera_pal8", "camera_gray_u8"):
             return (self.height_camera_view_pu, self.num_rays)
         if self.obs_type == "depth":
             return (self.num_rays,)

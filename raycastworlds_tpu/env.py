@@ -114,6 +114,8 @@ class Env:
             "camera_u32": jnp.uint32,
             "camera_rgb": jnp.uint8,
             "camera_gray": jnp.float32,
+            "camera_pal8": jnp.uint8,
+            "camera_gray_u8": jnp.uint8,
             "depth": cfg.float_dtype,  # follows EnvConfig.dtype
             "tile_grid": jnp.int32,
             "top_u32": jnp.uint32,

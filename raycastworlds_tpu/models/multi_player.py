@@ -39,6 +39,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+from .. import colors
 from ..config import EnvConfig
 from ..ops import bitmap, collision, lut, raycast, render, sampling
 from ..state import EnvState
@@ -50,8 +51,21 @@ class MultiPlayerConfig(EnvConfig):
     num_players: int = 2
     # Players block each other (circle-circle at 2*player_radius_wu).
     player_collision: bool = True
-    # Other players are visible (rendered/occluding as tile blocks).
+    # Other players are visible in camera/top/depth observations.
     players_visible: bool = True
+    # How visible players render:
+    #   "sprite" — billboard cylinder sprites at the players' ACTUAL
+    #              positions: per-ray circle intersection (radius
+    #              player_radius_wu), occlusion-tested against the wall/goal
+    #              hit, floor-standing columns of sprite_height_wu world
+    #              units, drawn in the pure-blue TILE_BLOCK palette color
+    #              (the dim block pairs stay reserved for tile obstacles).
+    #   "block"  — the round-3 tile-resolution approximation: the other
+    #              players' tiles join the obstacle map and render/occlude
+    #              like DynamicRoom blocks.
+    player_render: str = "sprite"
+    # Sprite cylinder height in world units (a wall is 1 wu tall).
+    sprite_height_wu: float = 0.5
 
     def __post_init__(self):
         super().__post_init__()
@@ -60,6 +74,13 @@ class MultiPlayerConfig(EnvConfig):
             raise ValueError(
                 f"num_players must be in [1, {interior}) for this map size"
             )
+        if self.player_render not in ("sprite", "block"):
+            raise ValueError(
+                f"unknown player_render: {self.player_render!r} "
+                "(expected 'sprite' or 'block')"
+            )
+        if not (0.0 < self.sprite_height_wu <= self.camera_height_tile_wu * 4):
+            raise ValueError("sprite_height_wu must be in (0, 4*camera_height]")
 
     @property
     def obs_shape(self):
@@ -226,16 +247,25 @@ class MultiPlayerRoom(Game):
         self_mask = jnp.eye(p, dtype=bool)[:, :, None]          # [P, P, 1]
         return jnp.where(self_mask, jnp.int32(-1), tiles[None, :, :])
 
+    @property
+    def _sprite_mode(self) -> bool:
+        cfg: MultiPlayerConfig = self.cfg
+        return cfg.players_visible and cfg.player_render == "sprite"
+
     def _obstacles_for(self, state: EnvState, others: jax.Array):
-        """(obstacle_words, block_words) for one player: walls | goal |
-        other players; others double as the block render layer."""
+        """(obstacle_words, block_words) for one player.  Block mode: walls |
+        goal | other players' tiles, with the tiles doubling as the block
+        render layer.  Sprite mode (default): walls | goal only — the other
+        players are drawn as billboard sprites AFTER the cast, not as map
+        obstacles."""
         cfg = self.cfg
         nw = state.wall_words.shape[-1]
         _, base = self._packed_maps(state)  # walls | goal
-        if not cfg.players_visible:
+        if not cfg.players_visible or self._sprite_mode:
             return base, None
         blocks = bitmap.tiles_to_words(others, (cfg.H, cfg.W), nw)
         return base | blocks, blocks
+
 
     def _player_pose_dirs(self, pos, dir_au):
         """(player_dir, ray_dirs-or-None) for ONE player's pose — the
@@ -252,22 +282,83 @@ class MultiPlayerRoom(Game):
             jnp.asarray(cfg.directions_wu, pos.dtype), dir_au
         ), None
 
-    def _observe_player(self, state: EnvState, others: jax.Array):
-        cfg = self.cfg
-        # NOTE: vmapped over the player axis by the callers; pos/dir here
-        # are one player's.
-        def obs(pos, dir_au):
-            obstacle_words, block_words = self._obstacles_for(state, others)
-            pdir, dirs = self._player_pose_dirs(pos, dir_au)
-            hits = raycast.cast_rays(
-                cfg, obstacle_words, pos, dir_au, ray_dirs=dirs
+    def _cast_player(self, state: EnvState, pos, dir_au, others, others_mask):
+        """(pdir, hits, t_sprite-or-None, block_words) for ONE player."""
+        cfg: MultiPlayerConfig = self.cfg
+        obstacle_words, block_words = self._obstacles_for(state, others)
+        pdir, dirs = self._player_pose_dirs(pos, dir_au)
+        hits = raycast.cast_rays(
+            cfg, obstacle_words, pos, dir_au, ray_dirs=dirs
+        )
+        t_s = None
+        if self._sprite_mode:
+            t_s = render.ray_circle_t(
+                pos, hits.ray_dirs, state.pos_wu, others_mask,
+                cfg.float_dtype(cfg.player_radius_wu ** 2),
             )
+        return pdir, hits, t_s, block_words
+
+    def _observe_player(
+        self, state: EnvState, pos, dir_au, others, others_mask
+    ) -> jax.Array:
+        """One player's observation (vmapped over the player axis)."""
+        cfg: MultiPlayerConfig = self.cfg
+        pdir, hits, t_s, block_words = self._cast_player(
+            state, pos, dir_au, others, others_mask
+        )
+        if cfg.obs_type == "depth":
+            h = hits if t_s is None else hits._replace(
+                dist_wu=jnp.minimum(hits.dist_wu, t_s)
+            )
+            return jnp.flip(render.projected_depth(pdir, h), axis=0)
+        if cfg.obs_type == "tile_grid":
+            # tile-resolution by nature: visible players mark their tiles
+            # regardless of the camera render mode
+            blocks = None
+            if cfg.players_visible:
+                blocks = bitmap.tiles_to_words(
+                    others, (cfg.H, cfg.W), state.wall_words.shape[-1]
+                )
             return render.render_observation(
                 cfg, state.wall_words, state.goal_tu, pdir, hits,
-                block_words=block_words, pos_wu=pos,
+                block_words=blocks, pos_wu=pos,
             )
+        if cfg.obs_type == "camera_pal8":
+            img = render.render_camera_pal8(
+                cfg, state.wall_words, pdir, hits, block_words=block_words
+            )
+            if t_s is not None:
+                img = render.sprite_overlay(
+                    cfg, img, pdir, hits, t_s,
+                    jnp.uint8(colors.PAL_BLOCK), cfg.sprite_height_wu,
+                )
+            return img
+        img = self._camera_u32_player(state, pdir, hits, t_s, block_words, pos)
+        if cfg.obs_type == "camera_u32":
+            return img
+        if cfg.obs_type == "camera_rgb":
+            return render.u32_to_rgb(img)
+        if cfg.obs_type == "camera_gray":
+            return render.u32_to_gray(img)
+        if cfg.obs_type == "camera_gray_u8":
+            return render.u32_to_gray_u8(img)
+        raise AssertionError(cfg.obs_type)
 
-        return obs
+    def _camera_u32_player(self, state, pdir, hits, t_s, block_words, pos):
+        cfg: MultiPlayerConfig = self.cfg
+        img = render.render_camera_u32(
+            cfg, state.wall_words, pdir, hits,
+            block_words=block_words, pos_wu=pos,
+        )
+        if t_s is not None:
+            img = render.sprite_overlay(
+                cfg, img, pdir, hits, t_s,
+                jnp.uint32(colors.TILE_BLOCK), cfg.sprite_height_wu,
+            )
+        return img
+
+    def _others_mask(self) -> jax.Array:
+        return ~jnp.eye(self.cfg.num_players, dtype=bool)  # [P, P]
 
     def observe_single(self, state: EnvState) -> jax.Array:
         cfg: MultiPlayerConfig = self.cfg
@@ -282,34 +373,38 @@ class MultiPlayerRoom(Game):
             )
         others = self._others_tiles(state)
 
-        def one(pos, d, oth):
-            return self._observe_player(state, oth)(pos, d)
+        def one(pos, d, oth, mask):
+            return self._observe_player(state, pos, d, oth, mask)
 
-        return jax.vmap(one)(state.pos_wu, state.dir_au, others)
+        return jax.vmap(one)(
+            state.pos_wu, state.dir_au, others, self._others_mask()
+        )
 
     def observe_batch(self, state: EnvState) -> jax.Array:
         return jax.vmap(self.observe_single)(state)
 
     def camera_view_single(self, state: EnvState) -> jax.Array:
         """uint32[P, H_pu, R] camera views (one per player)."""
-        cfg = self.cfg
         others = self._others_tiles(state)
 
-        def one(pos, d, oth):
-            obstacle_words, block_words = self._obstacles_for(state, oth)
-            pdir, dirs = self._player_pose_dirs(pos, d)
-            hits = raycast.cast_rays(cfg, obstacle_words, pos, d, ray_dirs=dirs)
-            return render.render_camera_u32(
-                cfg, state.wall_words, pdir, hits,
-                block_words=block_words, pos_wu=pos,
+        def one(pos, d, oth, mask):
+            pdir, hits, t_s, block_words = self._cast_player(
+                state, pos, d, oth, mask
+            )
+            return self._camera_u32_player(
+                state, pdir, hits, t_s, block_words, pos
             )
 
-        return jax.vmap(one)(state.pos_wu, state.dir_au, others)
+        return jax.vmap(one)(
+            state.pos_wu, state.dir_au, others, self._others_mask()
+        )
 
     def top_view_single(self, state: EnvState) -> jax.Array:
-        """One whole-world top view: player 0's rays/circle, the other
-        players drawn as blocks."""
+        """One whole-world top view: player 0's rays/circle; the other
+        players as filled circles at their actual positions (sprite mode)
+        or as blue tiles (block mode)."""
         from ..ops import topview
+        from ..ops.units import wu_to_pu
 
         cfg = self.cfg
         others0 = self._others_tiles(state)[0]
@@ -318,6 +413,9 @@ class MultiPlayerRoom(Game):
         dir0 = state.dir_au[0]
         _, dirs0 = self._player_pose_dirs(pos0, dir0)
         hits = raycast.cast_rays(cfg, obstacle_words, pos0, dir0, ray_dirs=dirs0)
+        others_pu = None
+        if self._sprite_mode and cfg.num_players > 1:
+            others_pu = wu_to_pu(state.pos_wu[1:], cfg.pu_per_tu)  # i32[P-1, 2]
         return topview.render_top_view(
             cfg,
             state.wall_map,
@@ -330,6 +428,7 @@ class MultiPlayerRoom(Game):
                 if block_words is None
                 else bitmap.unpack_bits(block_words, (cfg.H, cfg.W))
             ),
+            others_pu=others_pu,
         )
 
 

@@ -375,15 +375,37 @@ def _crossing_axis(
         )
         occ = bitmap.lookup_bit(obstacle_words, idx) & finite
     t_m = jnp.where(occ, t, big)                             # [N, R]
-    best = jnp.min(t_m, axis=0)                              # [R]
-    kb = jnp.argmin(t_m, axis=0).astype(jnp.int32)           # [R]
-    # Select the winning candidate's tile with a one-hot sum (no gather);
-    # recomputing coordinates from `best` would re-round under a different
-    # fusion context.
-    onehot = (
-        jnp.arange(n, dtype=jnp.int32)[:, None] == kb[None, :]
+    # ONE variadic lexicographic-min reduce over (t, k, c_idx) instead of
+    # min + argmin + one-hot payload sum.  Selection is identical (argmin
+    # returns the first — smallest-k — occurrence of the min, exactly the
+    # (t, k) lexicographic rule, and the winner's payload rides along), so
+    # results are bit-identical; but the three separate [N, R] reductions
+    # each forced the candidate arrays through HBM, which is the measured
+    # wall at large ray counts (ref-default 512-ray cast ~12x off its VPU
+    # bound, docs/RESULTS.md round 4) — a single reduce lets XLA fuse the
+    # whole candidate pipeline into one generate-and-reduce pass.
+    ks_b = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], t_m.shape
     )
-    c_best = jnp.sum(jnp.where(onehot, c_idx, 0), axis=0)
+
+    def _lexmin(acc, val):
+        at, ak, ac = acc
+        vt, vk, vc = val
+        better = (vt < at) | ((vt == at) & (vk < ak))
+        return (
+            jnp.where(better, vt, at),
+            jnp.where(better, vk, ak),
+            jnp.where(better, vc, ac),
+        )
+
+    # init k = n loses to every real candidate (vk < n), so even an all-big
+    # column selects k = 0 — exactly argmin's first-occurrence rule.
+    best, kb, c_best = jax.lax.reduce(
+        (t_m, ks_b, c_idx),
+        (big, jnp.int32(n), jnp.int32(0)),
+        _lexmin,
+        (0,),
+    )
     m_best = main0 + (kb + 1) * step
     return best, m_best, c_best
 

@@ -67,26 +67,16 @@ def column_colors_u32(
     return out
 
 
-def render_camera_u32(
-    cfg: EnvConfig,
-    wall_words: jax.Array,
-    player_dir_wu: jax.Array,
-    hits: RayHits,
-    block_words=None,
-    pos_wu=None,
-) -> jax.Array:
-    """uint32[H_pu, num_rays] 0x00RRGGBB camera view for one env.
-
-    Bit-exact with the reference algorithm (:401-441) under 0-indexing:
+def _column_pads(cfg: EnvConfig, player_dir_wu: jax.Array, hits: RayHits):
+    """(pad i32[R], height_line f32[R]) — the shared column geometry of the
+    camera renderers (reference :401-441 under 0-indexing):
       height_line = cam_h * R / (2 * sfov * projected)       (:406)
       non-finite height -> full column                        (:407-411)
-      height_pu >= H_pu - 1 -> full wall column               (:433-434)
-      else padding = (H_pu - height_pu) // 2, rows [0, pad) ceiling,
-      [pad, H_pu - pad) wall, [H_pu - pad, H_pu) floor        (:436-439)
-      column k = R - 1 - i (mirrored)                         (:431)
+      height_pu >= H_pu - 1 -> full wall column (pad 0)       (:433-434)
+      else pad = (H_pu - height_pu) // 2                      (:436-439)
+    Factored out so the u32 and pal8 renders share the exact arithmetic —
+    palette-decode parity between them is structural, not numerical luck.
     """
-    import numpy as np
-
     hpu = cfg.height_camera_view_pu
     r = cfg.num_rays
     proj = projected_depth(player_dir_wu, hits)  # f32[R]
@@ -109,6 +99,25 @@ def render_camera_u32(
     )
     full = h_pu >= hpu - 1
     pad = jnp.where(full, 0, (hpu - h_pu) // 2)  # i32[R]
+    return pad, height_line
+
+
+def render_camera_u32(
+    cfg: EnvConfig,
+    wall_words: jax.Array,
+    player_dir_wu: jax.Array,
+    hits: RayHits,
+    block_words=None,
+    pos_wu=None,
+) -> jax.Array:
+    """uint32[H_pu, num_rays] 0x00RRGGBB camera view for one env.
+
+    Bit-exact with the reference algorithm (:401-441) under 0-indexing: see
+    :func:`_column_pads` for the column geometry; columns are written
+    mirrored, ``k = R - 1 - i`` (:431).
+    """
+    hpu = cfg.height_camera_view_pu
+    pad, height_line = _column_pads(cfg, player_dir_wu, hits)
 
     slab = column_colors_u32(
         wall_words, (cfg.H, cfg.W), hits, block_words
@@ -247,6 +256,183 @@ def u32_to_gray(img: jax.Array) -> jax.Array:
     return (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
 
 
+def u32_to_gray_u8(img: jax.Array) -> jax.Array:
+    """Rec.601 luma quantized to uint8 [0, 255] — the 1-byte grayscale
+    observation (``camera_gray_u8``).  Planar [H_pu, R] layout: the wide ray
+    axis stays minor, unlike the channels-minor u8 forms measured 2x worse
+    (docs/RESULTS.md round 3).  The u32 intermediate fuses into this
+    conversion under jit (verified for the rgb unpack by compiled memory
+    analysis), so only the 1-byte image touches HBM."""
+    r = ((img >> 16) & 0xFF).astype(jnp.float32)
+    g = ((img >> 8) & 0xFF).astype(jnp.float32)
+    b = (img & 0xFF).astype(jnp.float32)
+    return (0.299 * r + 0.587 * g + 0.114 * b).astype(jnp.uint8)
+
+
+def column_colors_pal8(
+    wall_words: jax.Array, shape, hits: RayHits, block_words=None
+) -> jax.Array:
+    """Per-ray wall-slab PALETTE INDEX, uint8[R] — the 1-byte twin of
+    :func:`column_colors_u32` (identical predicates, index constants from
+    ``colors.PALETTE`` instead of 0x00RRGGBB values)."""
+    from . import bitmap
+
+    hi = hits.hit_tu[:, 0]
+    hj = hits.hit_tu[:, 1]
+    h, w = shape
+    idx = jnp.clip(hi, 0, h - 1) * w + jnp.clip(hj, 0, w - 1)
+    is_wall = bitmap.lookup_bit(wall_words, idx)
+    dim_i = hits.hit_dim == 0
+    wall_c = jnp.where(
+        dim_i,
+        jnp.uint8(colors.PAL_WALL_DIM_I),
+        jnp.uint8(colors.PAL_WALL_DIM_J),
+    )
+    goal_c = jnp.where(
+        dim_i,
+        jnp.uint8(colors.PAL_GOAL_DIM_I),
+        jnp.uint8(colors.PAL_GOAL_DIM_J),
+    )
+    out = jnp.where(is_wall, wall_c, goal_c)
+    if block_words is not None:
+        is_block = bitmap.lookup_bit(block_words, idx)
+        block_c = jnp.where(
+            dim_i,
+            jnp.uint8(colors.PAL_BLOCK_DIM_I),
+            jnp.uint8(colors.PAL_BLOCK_DIM_J),
+        )
+        out = jnp.where(is_block & ~is_wall, block_c, out)
+    return out
+
+
+def render_camera_pal8(
+    cfg: EnvConfig,
+    wall_words: jax.Array,
+    player_dir_wu: jax.Array,
+    hits: RayHits,
+    block_words=None,
+) -> jax.Array:
+    """uint8[H_pu, num_rays] palette-index camera view for one env.
+
+    LOSSLESS: the scene vocabulary is the 12-color ``colors.PALETTE``, so
+    ``pal8_to_u32(render_camera_pal8(...)) == render_camera_u32(...)``
+    bit-exactly (same :func:`_column_pads` geometry, same select predicates
+    — only the selected constants differ).  At 1/4 the observation bytes of
+    ``camera_u32`` this is the max-throughput camera form on TPU: every
+    headline row is HBM-observation-bound (docs/RESULTS.md).  Procedural
+    wall textures modulate brightness continuously and are not expressible
+    in 12 indices; EnvConfig rejects pal8 + textures.
+    """
+    hpu = cfg.height_camera_view_pu
+    pad, _ = _column_pads(cfg, player_dir_wu, hits)
+    slab = column_colors_pal8(
+        wall_words, (cfg.H, cfg.W), hits, block_words
+    )  # u8[R]
+    pad = jnp.flip(pad, axis=0)  # mirror (:431), flipped before broadcast
+    slab = jnp.flip(slab, axis=0)
+    row = jnp.arange(hpu, dtype=jnp.int32)[:, None]  # [H_pu, 1]
+    return jnp.where(
+        row < pad[None, :],
+        jnp.uint8(colors.PAL_CEILING),
+        jnp.where(
+            row >= (hpu - pad)[None, :],
+            jnp.uint8(colors.PAL_FLOOR),
+            slab[None, :],
+        ),
+    )
+
+
+def sprite_overlay(
+    cfg: EnvConfig,
+    img: jax.Array,
+    player_dir_wu: jax.Array,
+    hits: RayHits,
+    t_sprite: jax.Array,
+    color: jax.Array,
+    sprite_height_wu: float,
+) -> jax.Array:
+    """Overlay floor-standing billboard sprite columns onto a rendered
+    camera image (MultiPlayerRoom's sub-tile player rendering; no reference
+    equivalent — the reference is single-player).
+
+    ``t_sprite``: f32[R] distance along each (unflipped, cast-order) ray to
+    the nearest sprite surface, +inf where the ray misses every sprite.
+    The sprite is drawn where it is CLOSER than the wall/goal hit
+    (occlusion), as a column whose bottom sits where a wall column at the
+    sprite's fisheye-projected distance would end (same pad rule as
+    :func:`_column_pads` — the sprite stands on the floor) and whose height
+    is ``sprite_height_wu`` of that distance's wall height.  ``color`` must
+    be a scalar of the image dtype (u32 color or u8 palette index), so the
+    overlay works for camera_u32 and camera_pal8 alike.  Scalar mirror:
+    oracle/families.OracleMultiPlayer.
+    """
+    hpu = cfg.height_camera_view_pu
+    r = cfg.num_rays
+    dt = hits.dist_wu.dtype
+    visible = t_sprite < hits.dist_wu
+    proj = t_sprite * jnp.sum(player_dir_wu[None, :] * hits.ray_dirs, axis=-1)
+    num = jnp.asarray(cfg.float_dtype(cfg.camera_height_tile_wu * r), dt)
+    denom_c = jnp.asarray(
+        cfg.float_dtype(2.0 * cfg.semi_field_of_view_wu), dt
+    )
+    h_line = num / (denom_c * proj)
+    h_line = jnp.where(visible & jnp.isfinite(h_line), h_line, 0.0)
+    h_pu = jnp.floor(jnp.minimum(h_line, jnp.asarray(hpu, dt))).astype(
+        jnp.int32
+    )
+    pad = jnp.where(h_pu >= hpu - 1, 0, (hpu - h_pu) // 2)
+    bottom = hpu - pad  # [R]
+    hs = jnp.floor(
+        jnp.minimum(
+            jnp.asarray(cfg.float_dtype(sprite_height_wu), dt) * h_line,
+            jnp.asarray(hpu, dt),
+        )
+    ).astype(jnp.int32)
+    top = jnp.maximum(bottom - hs, 0)  # [R]
+    # mirror like the wall columns (ref :431), flipped before broadcast
+    visible = jnp.flip(visible, axis=0)
+    top = jnp.flip(top, axis=0)
+    bottom = jnp.flip(bottom, axis=0)
+    row = jnp.arange(hpu, dtype=jnp.int32)[:, None]
+    mask = visible[None, :] & (row >= top[None, :]) & (row < bottom[None, :])
+    return jnp.where(mask, color, img)
+
+
+def ray_circle_t(
+    pos_wu: jax.Array,
+    ray_dirs: jax.Array,
+    centers: jax.Array,
+    center_mask: jax.Array,
+    radius_sq,
+) -> jax.Array:
+    """Nearest positive ray-circle intersection distance per ray: f32[R],
+    +inf where every circle is missed.  ``centers`` f32[K, 2] with bool[K]
+    ``center_mask`` disabling rows; standard quadratic (b = d.(c-p),
+    disc = b^2 - |c-p|^2 + r^2, near root t = b - sqrt(disc))."""
+    dt = ray_dirs.dtype
+    dx = ray_dirs[:, 0][:, None]  # [R, 1]
+    dy = ray_dirs[:, 1][:, None]
+    ox = (centers[:, 0] - pos_wu[0])[None, :]  # [1, K]
+    oy = (centers[:, 1] - pos_wu[1])[None, :]
+    b = dx * ox + dy * oy                      # [R, K]
+    c2 = ox * ox + oy * oy                     # [1, K]
+    disc = b * b - c2 + jnp.asarray(radius_sq, dt)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t = b - sq
+    valid = center_mask[None, :] & (disc >= 0) & (t > 0)
+    inf = jnp.asarray(jnp.inf, dt)
+    return jnp.min(jnp.where(valid, t, inf), axis=1)  # [R]
+
+
+def pal8_to_u32(img: jax.Array) -> jax.Array:
+    """Decode palette indices to 0x00RRGGBB uint32 on device (the consumer-
+    side inverse of ``camera_pal8``; fuses into the consumer's first op)."""
+    import numpy as np
+
+    pal = jnp.asarray(np.asarray(colors.PALETTE_NP))
+    return pal[img.astype(jnp.int32)]
+
+
 def render_observation(
     cfg: EnvConfig,
     wall_words: jax.Array,
@@ -274,6 +460,11 @@ def render_observation(
                 bitmap.unpack_bits(goal_words, (cfg.H, cfg.W)), 2, grid
             )
         return grid.at[goal_tu[0], goal_tu[1]].set(2)
+    if cfg.obs_type == "camera_pal8":
+        # Native 1-byte path: no u32 intermediate at all.
+        return render_camera_pal8(
+            cfg, wall_words, player_dir_wu, hits, block_words
+        )
     img = render_camera_u32(
         cfg, wall_words, player_dir_wu, hits, block_words, pos_wu
     )
@@ -283,4 +474,6 @@ def render_observation(
         return u32_to_rgb(img)
     if cfg.obs_type == "camera_gray":
         return u32_to_gray(img)
+    if cfg.obs_type == "camera_gray_u8":
+        return u32_to_gray_u8(img)
     raise AssertionError(cfg.obs_type)

@@ -108,11 +108,15 @@ def render_top_view(
     hits: RayHits,
     goal_map=None,
     block_map=None,
+    others_pu=None,
 ) -> jax.Array:
     """uint32[H*ppt, W*ppt] top view for one env (ref :446-483).
 
     Draw order matches the reference: tile map, then ray segments, then the
-    player circle on top.
+    player circle on top.  ``others_pu`` (i32[K, 2], optional) draws other
+    players as FILLED circles of the player radius in the TILE_BLOCK color
+    between the rays and the self circle (MultiPlayerRoom sprite mode —
+    sub-tile positions, unlike ``block_map``'s whole tiles).
     """
     ppt = cfg.pu_per_tu
     hpu, wpu = cfg.top_view_shape
@@ -152,9 +156,18 @@ def render_top_view(
         .reshape(hpu, wpu)
     )
 
+    rad = player_radius_pu_hint
+
+    # --- other players as filled circles (sprite mode) ---
+    if others_pu is not None:
+        oi = jnp.arange(hpu)[:, None, None] - others_pu[None, None, :, 0]
+        oj = jnp.arange(wpu)[None, :, None] - others_pu[None, None, :, 1]
+        od = jnp.sqrt((oi * oi + oj * oj).astype(jnp.float32))
+        filled = jnp.any(jnp.round(od).astype(jnp.int32) <= rad, axis=-1)
+        img = jnp.where(filled, jnp.uint32(colors.TILE_BLOCK), img)
+
     # --- player circle outline (ref :480): center = player pixel, radius in
     # pixels; band where rounded distance equals the radius ---
-    rad = player_radius_pu_hint
     di = jnp.arange(hpu)[:, None] - p_px[0]
     dj = jnp.arange(wpu)[None, :] - p_px[1]
     dist = jnp.sqrt((di * di + dj * dj).astype(jnp.float32))

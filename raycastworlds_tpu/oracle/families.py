@@ -136,7 +136,7 @@ class OracleWorld(OracleSingleRoom):
         r = cfg.num_rays
         img = np.zeros((hpu, r), np.uint32)
         dirs, hit_tu, hit_dim, dist = self.cast_rays()
-        pd = self.directions_wu[self.dir_au]
+        pd = self.player_dir()
         num = np.float32(cfg.camera_height_tile_wu * r)
         denom_c = np.float32(2.0 * cfg.semi_field_of_view_wu)
         for i in range(r):
@@ -280,6 +280,339 @@ class OracleMultiGoal(OracleWorld):
             self.done = len(self.goal_tiles) == 0 if self.collect_all else False
         self.t += 1
         self.episode_return = np.float32(self.episode_return + self.reward)
+
+
+class OracleContinuous(OracleWorld):
+    """Scalar mirror of the continuous-heading mode
+    (EnvConfig.continuous_heading, models/base.py): float heading in
+    [0, num_directions), fractional turns by ``turn_increment_au``, heading
+    vector and ray fan computed LIVE instead of via the per-heading LUTs.
+
+    Precision contract: the heading transcendentals (cos/sin) are evaluated
+    through the same XLA CPU scalar kernels as the env — the exact analog of
+    the discrete oracles sharing ``directions_wu``/``ray_fan_lut`` (libm vs
+    XLA can differ in the last ulp, which would break exact equality for no
+    informative reason).  Everything downstream — the fan lerp+normalize,
+    movement, collision, DDA, render — is independent NumPy float32.
+    """
+
+    def _draw_heading(self, k_dir) -> None:
+        import jax
+
+        self.dir_au = np.float32(np.asarray(jax.random.uniform(
+            k_dir, (), dtype="float32",
+            maxval=float(self.cfg.num_directions),
+        )))
+
+    def reset(self, key) -> None:
+        # Same draw order as OracleSingleRoom.reset; only the heading draw
+        # differs (uniform float32 instead of randint —
+        # ops/sampling.sample_heading continuous branch).
+        import jax
+
+        cfg = self.cfg
+        next_key, k_goal, k_spawn, k_dir = jax.random.split(key, 4)
+        gi, gj = np.asarray(jax.random.randint(
+            k_goal, (2,), np.array([1, 1]),
+            np.array([cfg.H - 1, cfg.W - 1]), dtype=np.int32))
+        self.goal_tu = (int(gi), int(gj))
+        occupied = self.wall_map.copy()
+        occupied[self.goal_tu] = True
+        s = self._draw_empty(k_spawn, occupied)
+        self.pos_wu = np.array([s[0] + 0.5, s[1] + 0.5], np.float32)
+        self._draw_heading(k_dir)
+        self.reward = np.float32(0)
+        self.done = False
+        self.t = 0
+        self.episode_return = np.float32(0)
+        self.rng_key = next_key
+
+    def player_dir(self) -> np.ndarray:
+        import jax.numpy as jnp
+
+        ang = np.float32(self.dir_au) * np.float32(
+            2.0 * np.pi / self.cfg.num_directions
+        )
+        # shared XLA transcendentals (see class docstring)
+        return np.array(
+            [np.asarray(jnp.cos(jnp.float32(ang))),
+             np.asarray(jnp.sin(jnp.float32(ang)))], np.float32,
+        )
+
+    def ray_fan(self) -> np.ndarray:
+        """NumPy float32 mirror of ops/raycast.ray_fan (the live formula):
+        lerp across the camera plane, then normalize."""
+        cfg = self.cfg
+        d = self.player_dir()
+        cam = np.array([d[1], -d[0]], np.float32)
+        s = np.float32(cfg.semi_field_of_view_wu)
+        first = (d + s * cam).astype(np.float32)
+        last = (d - s * cam).astype(np.float32)
+        r = cfg.num_rays
+        t = (np.arange(r, dtype=np.float32) / np.float32(r - 1))[:, None]
+        un = (first[None, :] + t * (last - first)[None, :]).astype(np.float32)
+        norm = np.sqrt(np.sum(un * un, axis=-1, keepdims=True)).astype(
+            np.float32
+        )
+        return (un / norm).astype(np.float32)
+
+    def step(self, action: int) -> None:
+        cfg = self.cfg
+        assert 0 <= action < 4
+        if action < 2:
+            d = self.player_dir()
+            inc = np.float32(cfg.position_increment_wu)
+            sign = np.float32(1.0 if action == 0 else -1.0)
+            cand = (self.pos_wu + np.float32(sign * inc) * d).astype(
+                np.float32
+            )
+            hit_goal = self._is_colliding(self._goal_map(), cand)
+            hit_wall = self._is_colliding(self.wall_map, cand)
+            if hit_goal:
+                self.reward = np.float32(cfg.goal_reward)
+                self.done = True
+            else:
+                self.reward = np.float32(0)
+                self.done = False
+                if not hit_wall:
+                    self.pos_wu = cand
+            # moving actions still pass the heading through mod (identity
+            # for dir in [0, D) — models/base.py _turned_dir)
+            self.dir_au = np.float32(
+                np.mod(self.dir_au, np.float32(cfg.num_directions))
+            )
+        else:
+            turn = np.float32(1.0 if action == 2 else -1.0)
+            step = np.float32(turn * np.float32(cfg.turn_increment_au))
+            self.dir_au = np.float32(np.mod(
+                np.float32(self.dir_au + step),
+                np.float32(cfg.num_directions),
+            ))
+            self.reward = np.float32(0)
+            self.done = False
+        self.t += 1
+        self.episode_return = np.float32(self.episode_return + self.reward)
+
+
+class OracleMultiPlayer(OracleWorld):
+    """Scalar mirror of models/multi_player.py: P simultaneous players, one
+    shared goal, circle-circle blocking at 2r with the lower-index-wins
+    candidate tie-break, per-player cameras where the OTHER players occlude
+    as tile blocks.  Discrete headings only (the continuous mode has its own
+    oracle extension)."""
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self.p = cfg.num_players
+        self.ppos = np.zeros((self.p, 2), np.float32)   # [P, 2]
+        self.pdir = [0] * self.p                         # [P] angle units
+        self.rewards = np.zeros(self.p, np.float32)
+
+    # -- closed-form interior draw (ops/sampling.sample_empty_interior_tile)
+
+    def _draw_interior_excl(self, key, exclude_ranks) -> Tuple[int, int]:
+        import jax
+
+        cfg = self.cfg
+        wi = cfg.W - 2
+        n = np.float32((cfg.H - 2) * wi - len(exclude_ranks))
+        u = np.float32(np.asarray(jax.random.uniform(key, (), dtype="float32")))
+        k = int(np.clip(np.floor(u * n), np.float32(0.0),
+                        max(np.float32(n - 1.0), np.float32(0.0))))
+        r = k
+        for q in sorted(exclude_ranks):
+            if q <= r:
+                r += 1
+        return (1 + r // wi, 1 + r % wi)
+
+    def reset(self, key) -> None:
+        """Draw order: split(key, 4) -> (next, k_goal, k_spawns, k_dirs);
+        P sequential interior draws excluding the goal and earlier players
+        (models/multi_player.py reset_single)."""
+        import jax
+
+        cfg = self.cfg
+        next_key, k_goal, k_spawns, k_dirs = jax.random.split(key, 4)
+        gi, gj = np.asarray(jax.random.randint(
+            k_goal, (2,), np.array([1, 1]),
+            np.array([cfg.H - 1, cfg.W - 1]), dtype=np.int32))
+        self.goal_tu = (int(gi), int(gj))
+        wi = cfg.W - 2
+        ranks = [(self.goal_tu[0] - 1) * wi + (self.goal_tu[1] - 1)]
+        skeys = jax.random.split(k_spawns, self.p)
+        tiles = []
+        for i in range(self.p):
+            t = self._draw_interior_excl(skeys[i], ranks)
+            ranks.append((t[0] - 1) * wi + (t[1] - 1))
+            tiles.append(t)
+        self.ppos = np.array(
+            [[t[0] + 0.5, t[1] + 0.5] for t in tiles], np.float32
+        )
+        dkeys = jax.random.split(k_dirs, self.p)
+        self.pdir = [
+            int(np.asarray(jax.random.randint(
+                dkeys[i], (), 0, cfg.num_directions, dtype=np.int32)))
+            for i in range(self.p)
+        ]
+        self.rewards = np.zeros(self.p, np.float32)
+        self.done = False
+        self.t = 0
+        self.episode_return = np.zeros(self.p, np.float32)  # per player
+        self.rng_key = next_key
+
+    # -- simultaneous step (models/multi_player.py step_single) -----------
+
+    def step(self, actions) -> None:
+        cfg = self.cfg
+        p = self.p
+        inc = np.float32(cfg.position_increment_wu)
+        r = np.float32(cfg.player_radius_wu)
+        thresh = np.float32((2.0 * cfg.player_radius_wu) ** 2)
+
+        moving = [a < 2 for a in actions]
+        cand = self.ppos.copy()
+        for i in range(p):
+            d = self.directions_wu[self.pdir[i]]
+            sign = np.float32(1.0 if actions[i] == 0 else -1.0)
+            cand[i] = (self.ppos[i] + np.float32(sign * inc) * d).astype(
+                np.float32
+            )
+
+        hit_goal = [
+            moving[i]
+            and self._circle_hits_tile(cand[i], self.goal_tu[0], self.goal_tu[1])
+            for i in range(p)
+        ]
+        hit_wall = [
+            moving[i] and self._is_colliding(self.wall_map, cand[i])
+            for i in range(p)
+        ]
+
+        def d2(a, b):
+            dx = np.float32(a[0] - b[0])
+            dy = np.float32(a[1] - b[1])
+            return np.float32(dx * dx + dy * dy)
+
+        hit_player = [False] * p
+        if cfg.player_collision:
+            # test 1: candidate vs the OTHERS' current circles
+            for i in range(p):
+                hit_player[i] = moving[i] and any(
+                    d2(cand[i], self.ppos[j]) < thresh
+                    for j in range(p) if j != i
+                )
+            # test 2: candidate vs LOWER-INDEX movers' candidates
+            base_ok = [
+                moving[i] and not hit_goal[i] and not hit_wall[i]
+                and not hit_player[i]
+                for i in range(p)
+            ]
+            for i in range(p):
+                if moving[i] and any(
+                    base_ok[j] and d2(cand[i], cand[j]) < thresh
+                    for j in range(i)
+                ):
+                    hit_player[i] = True
+
+        self.rewards = np.array(
+            [np.float32(cfg.goal_reward) if hit_goal[i] else np.float32(0)
+             for i in range(p)], np.float32,
+        )
+        self.done = any(hit_goal)
+        for i in range(p):
+            if (moving[i] and not hit_goal[i] and not hit_wall[i]
+                    and not hit_player[i]):
+                self.ppos[i] = cand[i]
+            if not moving[i]:
+                if actions[i] == 2:
+                    self.pdir[i] = (self.pdir[i] + 1) % cfg.num_directions
+                else:
+                    self.pdir[i] = (self.pdir[i] - 1) % cfg.num_directions
+        self.t += 1
+        self.episode_return = (self.episode_return + self.rewards).astype(
+            np.float32
+        )
+
+    # -- per-player cameras ----------------------------------------------
+
+    def camera_views(self) -> np.ndarray:
+        """uint32[P, H_pu, R]: player p's camera with the others visible.
+        Block mode: other tiles join the obstacle union and render in the
+        block color pair (wall > block > goal precedence).  Sprite mode
+        (default): others are billboard circle sprites overlaid after the
+        cast (ops/render.sprite_overlay + ray_circle_t, mirrored here in
+        scalar float32)."""
+        cfg = self.cfg
+        sprite = cfg.players_visible and cfg.player_render == "sprite"
+        out = np.zeros(
+            (self.p, cfg.height_camera_view_pu, cfg.num_rays), np.uint32
+        )
+        for i in range(self.p):
+            self.pos_wu = self.ppos[i]
+            self.dir_au = self.pdir[i]
+            if cfg.players_visible and not sprite:
+                self.blocks = [
+                    [int(math.floor(self.ppos[j][0])),
+                     int(math.floor(self.ppos[j][1])), 0]
+                    for j in range(self.p) if j != i
+                ]
+            else:
+                self.blocks = []
+            img = self.camera_view()
+            if sprite:
+                self._overlay_sprites(img, i)
+            out[i] = img
+        self.blocks = []
+        return out
+
+    def _overlay_sprites(self, img: np.ndarray, i: int) -> None:
+        """Scalar mirror of ops/render.ray_circle_t + sprite_overlay for
+        player i's frame: nearest positive ray-circle hit per ray, occluded
+        by the wall/goal hit, floor-standing TILE_BLOCK column of
+        sprite_height_wu at the fisheye-projected distance."""
+        cfg = self.cfg
+        hpu = cfg.height_camera_view_pu
+        r = cfg.num_rays
+        dirs, hit_tu, hit_dim, dist = self.cast_rays()
+        pd = self.player_dir()
+        num = np.float32(cfg.camera_height_tile_wu * r)
+        denom = np.float32(2.0 * cfg.semi_field_of_view_wu)
+        r2 = np.float32(cfg.player_radius_wu ** 2)
+        sh = np.float32(cfg.sprite_height_wu)
+        for ridx in range(r):
+            dx = np.float32(dirs[ridx, 0])
+            dy = np.float32(dirs[ridx, 1])
+            t_best = np.float32(np.inf)
+            for j in range(self.p):
+                if j == i:
+                    continue
+                ox = np.float32(self.ppos[j][0] - self.pos_wu[0])
+                oy = np.float32(self.ppos[j][1] - self.pos_wu[1])
+                b = np.float32(np.float32(dx * ox) + np.float32(dy * oy))
+                c2 = np.float32(np.float32(ox * ox) + np.float32(oy * oy))
+                disc = np.float32(np.float32(b * b - c2) + r2)
+                if disc < 0:
+                    continue
+                t = np.float32(b - np.float32(np.sqrt(disc)))
+                if t > 0 and t < t_best:
+                    t_best = t
+            if not (t_best < dist[ridx]):
+                continue
+            proj = np.float32(t_best * np.float32(
+                np.float32(pd[0] * dirs[ridx, 0])
+                + np.float32(pd[1] * dirs[ridx, 1])
+            ))
+            with np.errstate(divide="ignore", over="ignore"):
+                h_line = np.float32(num / np.float32(denom * proj))
+            if not np.isfinite(h_line):
+                continue
+            h_pu = int(math.floor(min(float(h_line), float(hpu))))
+            pad = 0 if h_pu >= hpu - 1 else (hpu - h_pu) // 2
+            bottom = hpu - pad
+            hs = int(math.floor(min(float(np.float32(sh * h_line)),
+                                    float(hpu))))
+            top = max(bottom - hs, 0)
+            img[top:bottom, r - 1 - ridx] = colors.TILE_BLOCK
 
 
 class OracleDynamicRoom(OracleWorld):

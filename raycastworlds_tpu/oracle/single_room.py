@@ -157,6 +157,11 @@ class OracleSingleRoom:
 
     # -- raycast (ref single_room.jl:193-231 + Lodev DDA) ----------------
 
+    def player_dir(self) -> np.ndarray:
+        """f32[2] heading vector — the discrete LUT row (OracleContinuous
+        overrides with the live cos/sin of the float heading)."""
+        return self.directions_wu[self.dir_au]
+
     def ray_fan(self) -> np.ndarray:
         """Per-heading ray directions.  Uses the shared host-side float64 LUT
         (EnvConfig.ray_fan_lut) — like the direction LUT, the fan is a config
@@ -304,7 +309,7 @@ class OracleSingleRoom:
         r = cfg.num_rays
         img = np.zeros((hpu, r), np.uint32)
         dirs, hit_tu, hit_dim, dist = self.cast_rays()
-        pd = self.directions_wu[self.dir_au]
+        pd = self.player_dir()
         num = np.float32(cfg.camera_height_tile_wu * r)
         denom_c = np.float32(2.0 * cfg.semi_field_of_view_wu)
         for i in range(r):

@@ -44,6 +44,21 @@ def preprocess_obs(cfg: EnvConfig, obs: jax.Array) -> jax.Array:
         return obs.astype(jnp.float32) / 255.0
     if cfg.obs_type == "camera_gray":
         return obs[..., None].astype(jnp.float32)
+    if cfg.obs_type == "camera_pal8":
+        # One-hot contraction against the 12-entry RGB table instead of a
+        # gather: identical features to the camera_u32 path (exact palette
+        # decode / 255), but pure elementwise+reduce so it fuses into the
+        # first conv under dp sharding (same rationale as the log-prob
+        # one-hot in make_policy_fn).
+        from .. import colors as _colors
+
+        pal = jnp.asarray(_colors.PALETTE_RGB_F32)  # [12, 3]
+        oh = jax.nn.one_hot(
+            obs.astype(jnp.int32), pal.shape[0], dtype=jnp.float32
+        )
+        return oh @ pal
+    if cfg.obs_type == "camera_gray_u8":
+        return obs[..., None].astype(jnp.float32) / 255.0
     if cfg.obs_type == "depth":
         return obs.astype(jnp.float32)
     if cfg.obs_type == "tile_grid":
@@ -181,10 +196,21 @@ def compute_gae(
     return adv, adv + value
 
 
-def make_policy_fn(net: ActorCritic, cfg: EnvConfig, params):
+def make_policy_fn(net: ActorCritic, cfg: EnvConfig, params, num_players=0):
+    """Policy closure for rollouts.  ``num_players > 0`` (MultiPlayerRoom)
+    runs ONE parameter-shared network over the folded [B*P] batch and
+    returns per-player actions int32[B, P] — multi-agent self-play with a
+    single set of weights, the standard parameter-sharing baseline."""
+
     def policy(obs, key):
         x = preprocess_obs(cfg, obs)
+        if num_players:
+            b = x.shape[0]
+            x = x.reshape((b * num_players,) + x.shape[2:])
         logits, value = net.apply(params, x)
+        if num_players:
+            logits = logits.reshape(b, num_players, -1)
+            value = value.reshape(b, num_players)
         action = jax.random.categorical(key, logits)
         # one-hot contraction instead of fancy indexing: under dp sharding
         # the row-gather compiles to (small but needless) index all-gathers
@@ -248,6 +274,12 @@ class PPOTrainer:
         self.env = env
         self.cfg = ppo_cfg
         self.mesh = mesh
+        # MultiPlayerRoom: per-env action shape (P,) — train ONE
+        # parameter-shared policy by folding the player axis into the batch
+        # (obs [B, P, ...] -> [B*P, ...]; episode-level done broadcast per
+        # player for GAE).
+        ashape = getattr(env.game, "action_shape", ())
+        self.num_players = ashape[0] if ashape else 0
         self.net = ActorCritic(
             num_actions=env.game.num_actions, hidden=hidden, dtype=dtype,
             trunk=trunk,
@@ -262,6 +294,8 @@ class PPOTrainer:
         k_env, k_net, k_run = jax.random.split(key, 3)
         env_state, obs = self.env.reset(k_env)
         sample = preprocess_obs(self.env.cfg, obs[:1])
+        if self.num_players:
+            sample = sample.reshape((-1,) + sample.shape[2:])
         params = self.net.init(k_net, sample)
         opt_state = self.tx.init(params)
         ts = TrainState(
@@ -300,15 +334,38 @@ class PPOTrainer:
         env, cfg, net = self.env, self.cfg, self.net
         key, k_roll, k_perm = jax.random.split(ts.key, 3)
 
-        policy = make_policy_fn(net, env.cfg, ts.params)
+        policy = make_policy_fn(net, env.cfg, ts.params, self.num_players)
         env_state, traj = rollout_policy(
             env, policy, ts.env_state, k_roll, cfg.rollout_steps
         )
 
+        if self.num_players:
+            # Fold the player axis into the env axis ([T, B, P, ...] ->
+            # [T, B*P, ...]; B-major, so dp shard boundaries are preserved)
+            # and broadcast the episode-level done to every player — from
+            # here on the update is exactly the single-agent path over B*P
+            # "environments" sharing one set of weights.
+            p = self.num_players
+
+            def fold(x):
+                return x.reshape(x.shape[:1] + (-1,) + x.shape[3:])
+
+            traj = traj._replace(
+                obs=fold(traj.obs),
+                action=fold(traj.action),
+                reward=fold(traj.reward),
+                log_prob=fold(traj.log_prob),
+                value=fold(traj.value),
+                done=fold(jnp.broadcast_to(
+                    traj.done[:, :, None], traj.done.shape + (p,)
+                )),
+            )
+
         last_obs = env.game.observe_batch(env_state)
-        _, last_value = net.apply(
-            ts.params, preprocess_obs(env.cfg, last_obs)
-        )
+        last_x = preprocess_obs(env.cfg, last_obs)
+        if self.num_players:
+            last_x = last_x.reshape((-1,) + last_x.shape[2:])
+        _, last_value = net.apply(ts.params, last_x)
         adv, target = compute_gae(
             traj.reward, traj.value, traj.done, last_value,
             cfg.gamma, cfg.gae_lambda,

@@ -72,6 +72,11 @@ def _cases():
                 num_rays=32, pu_per_tu=8, obs_type="top_u32"
             )
         ),
+        "multi_player": rcw.MultiPlayerRoom(
+            rcw.MultiPlayerConfig(
+                num_players=2, num_rays=64, height_camera_view_pu=48
+            )
+        ),
     }
 
 
@@ -84,10 +89,12 @@ def _frame(game) -> np.ndarray:
     reset = jax.jit(game.reset_single)
     step = jax.jit(game.step_single)
     observe = jax.jit(game.observe_single)
+    ashape = getattr(game, "action_shape", ())
     for seed in (1234, 7, 42, 99):
         state = reset(jax.random.PRNGKey(seed))
         for a in (2, 0, 3):
-            state = step(state, jnp.int32(a))
+            act = jnp.full(ashape, a, jnp.int32) if ashape else jnp.int32(a)
+            state = step(state, act)
         frame = np.asarray(observe(state))
         if len(np.unique(frame)) >= 3:
             return frame

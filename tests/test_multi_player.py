@@ -142,34 +142,76 @@ def test_converging_candidates_lower_index_wins():
     assert np.linalg.norm(pos[0] - pos[1]) >= 2 * cfg.player_radius_wu - 1e-6
 
 
-def test_other_players_visible_as_blocks():
-    cfg = rcw.MultiPlayerConfig(
+_VIS_STATE = dict(
+    pos_wu=[[4.5, 2.5], [4.5, 6.5]],  # p1 directly ahead of p0 (+j)
+    goal_tu=[1, 13],
+)
+
+
+def _vis_cfg(**kw):
+    return rcw.MultiPlayerConfig(
         num_players=2, num_rays=32, height_camera_view_pu=32,
-        height_tile_map_tu=8, width_tile_map_tu=16,
+        height_tile_map_tu=8, width_tile_map_tu=16, **kw,
     )
+
+
+def _vis_frame(cfg):
     game = rcw.MultiPlayerRoom(cfg)
     state = jax.jit(game.reset_single)(jax.random.PRNGKey(5))
-    # p0 at (4.5, 2.5) facing +j; p1 directly ahead at (4.5, 6.5); goal away
     q = cfg.num_directions // 4
     state = state.replace(
-        pos_wu=jnp.asarray([[4.5, 2.5], [4.5, 6.5]], jnp.float32),
+        pos_wu=jnp.asarray(_VIS_STATE["pos_wu"], jnp.float32),
         dir_au=jnp.asarray([q, 0], jnp.int32),
-        goal_tu=jnp.asarray([1, 13], jnp.int32),
+        goal_tu=jnp.asarray(_VIS_STATE["goal_tu"], jnp.int32),
     )
-    obs = jax.jit(game.observe_single)(state)
-    frame0 = np.asarray(obs[0])
-    present = set(np.unique(frame0).tolist())
-    # player 1 renders in the block color pair in p0's view
+    return np.asarray(jax.jit(game.observe_single)(state)[0])
+
+
+def test_other_players_visible_as_sprites():
+    """Default render: the other player appears as a TILE_BLOCK-blue
+    billboard sprite at its actual position, standing on the floor (floor
+    pixels below it) and narrower than a whole tile."""
+    frame = _vis_frame(_vis_cfg())
+    present = set(np.unique(frame).tolist())
+    assert colors.TILE_BLOCK in present
+    assert not (present & {colors.BLOCK_DIM_I, colors.BLOCK_DIM_J})
+    sprite_cols = np.unique(np.where(frame == colors.TILE_BLOCK)[1])
+    # sub-tile: the sprite (0.25 wu circle at 4 wu) spans a narrow column
+    # band, not the ~quarter-frame a whole tile would
+    assert 0 < len(sprite_cols) < frame.shape[1] // 4
+    # floor-standing: pixels directly below the sprite are floor-colored
+    c = int(sprite_cols[len(sprite_cols) // 2])
+    rows = np.where(frame[:, c] == colors.TILE_BLOCK)[0]
+    assert frame[rows.max() + 1, c] == colors.FLOOR
+
+
+def test_sprite_subtile_position_moves_the_sprite():
+    """Moving the other player by half a tile moves the sprite columns —
+    the round-3 block approximation could not show sub-tile offsets."""
+    f1 = _vis_frame(_vis_cfg())
+    global _VIS_STATE
+    saved = _VIS_STATE
+    _VIS_STATE = dict(pos_wu=[[4.5, 2.5], [4.1, 6.9]], goal_tu=[1, 13])
+    try:
+        f2 = _vis_frame(_vis_cfg())
+    finally:
+        _VIS_STATE = saved
+    c1 = np.unique(np.where(f1 == colors.TILE_BLOCK)[1])
+    c2 = np.unique(np.where(f2 == colors.TILE_BLOCK)[1])
+    assert len(c1) and len(c2) and set(c1) != set(c2)
+
+
+def test_other_players_visible_as_blocks():
+    """player_render='block' keeps the round-3 tile-resolution path."""
+    frame = _vis_frame(_vis_cfg(player_render="block"))
+    present = set(np.unique(frame).tolist())
     assert present & {colors.BLOCK_DIM_I, colors.BLOCK_DIM_J}
-    # invisible mode: no block colors
-    cfg2 = rcw.MultiPlayerConfig(
-        num_players=2, num_rays=32, height_camera_view_pu=32,
-        height_tile_map_tu=8, width_tile_map_tu=16, players_visible=False,
-    )
-    game2 = rcw.MultiPlayerRoom(cfg2)
-    obs2 = jax.jit(game2.observe_single)(state)
-    present2 = set(np.unique(np.asarray(obs2[0])).tolist())
-    assert not (present2 & {colors.BLOCK_DIM_I, colors.BLOCK_DIM_J})
+    # invisible mode: neither sprites nor block colors
+    frame2 = _vis_frame(_vis_cfg(players_visible=False))
+    present2 = set(np.unique(frame2).tolist())
+    assert not (present2 & {
+        colors.BLOCK_DIM_I, colors.BLOCK_DIM_J, colors.TILE_BLOCK,
+    })
 
 
 def test_auto_reset_and_truncation():

@@ -18,6 +18,7 @@ import raycastworlds_tpu as rcw
 from raycastworlds_tpu.oracle.families import (
     OracleDynamicRoom,
     OracleMultiGoal,
+    OracleMultiPlayer,
     OracleWorld,
 )
 from raycastworlds_tpu.ops import bitmap
@@ -155,6 +156,73 @@ def test_generated_map_parity(family, cfg):
         a = int(rng.choice(4, p=[0.55, 0.05, 0.2, 0.2]))
         state = step(state, jnp.int32(a))
         oracle.step(a)
+
+
+@pytest.mark.parametrize("seed", [2, 5])
+@pytest.mark.parametrize("num_players", [2, 3])
+def test_multi_player_parity(seed, num_players):
+    """MultiPlayerRoom vs the scalar P-player oracle: bit-exact spawns,
+    simultaneous moves (incl. the circle-circle blocking and lower-index
+    candidate tie-break), per-player rewards, episode-level done, and all P
+    camera views (others occluding as blocks)."""
+    cfg = rcw.MultiPlayerConfig(
+        num_rays=48, height_camera_view_pu=32, num_players=num_players,
+    )
+    game = rcw.MultiPlayerRoom(cfg)
+    reset, step, observe = _jit_fns(game)
+    oracle = OracleMultiPlayer(cfg)
+
+    key = jax.random.PRNGKey(seed)
+    state = reset(key)
+    oracle.reset(key)
+
+    rng = np.random.RandomState(seed)
+    for t in range(180):
+        assert np.asarray(state.pos_wu).tolist() == oracle.ppos.tolist(), t
+        assert np.asarray(state.dir_au).tolist() == oracle.pdir, t
+        assert np.asarray(state.reward).tolist() == oracle.rewards.tolist(), t
+        assert bool(state.done) == oracle.done, t
+        assert np.asarray(state.goal_tu).tolist() == list(oracle.goal_tu), t
+        if t % 18 == 0:
+            np.testing.assert_array_equal(
+                np.asarray(observe(state)), oracle.camera_views(),
+                err_msg=f"step {t}",
+            )
+        if bool(state.done):
+            k = state.rng_key
+            state = reset(k)
+            oracle.reset(k)
+        else:
+            # forward-heavy actions drive wall hits, goal hits and
+            # player-player blocking
+            a = rng.choice(4, size=num_players, p=[0.6, 0.05, 0.175, 0.175])
+            state = step(state, jnp.asarray(a, jnp.int32))
+            oracle.step([int(x) for x in a])
+
+
+def test_multi_player_parity_invisible_players():
+    """players_visible=False: cameras show no blocks; dynamics unchanged."""
+    cfg = rcw.MultiPlayerConfig(
+        num_rays=32, height_camera_view_pu=24, num_players=2,
+        players_visible=False,
+    )
+    game = rcw.MultiPlayerRoom(cfg)
+    reset, step, observe = _jit_fns(game)
+    oracle = OracleMultiPlayer(cfg)
+    key = jax.random.PRNGKey(9)
+    state = reset(key)
+    oracle.reset(key)
+    rng = np.random.RandomState(9)
+    for t in range(60):
+        if t % 10 == 0:
+            np.testing.assert_array_equal(
+                np.asarray(observe(state)), oracle.camera_views(),
+                err_msg=f"step {t}",
+            )
+        a = rng.choice(4, size=2, p=[0.6, 0.05, 0.175, 0.175])
+        state = step(state, jnp.asarray(a, jnp.int32))
+        oracle.step([int(x) for x in a])
+        assert np.asarray(state.pos_wu).tolist() == oracle.ppos.tolist(), t
 
 
 @pytest.mark.parametrize("texture", ["checker", "brick", "xor"])

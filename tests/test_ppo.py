@@ -157,3 +157,41 @@ def test_train_step_hlo_has_no_data_collectives():
     txt = jax.jit(trainer._train_step_impl).lower(ts).compile().as_text()
     for coll in ("all-to-all", "all-gather", "collective-permute"):
         assert coll not in txt, f"unexpected {coll} in compiled train step"
+
+
+def test_multi_agent_train_step():
+    """MultiPlayerRoom trains first-class: one parameter-shared policy over
+    the folded [B*P] batch, per-player GAE with the episode-level done
+    broadcast, finite losses, and per-player actions driving the env."""
+    cfg = rcw.MultiPlayerConfig(
+        num_players=2, num_rays=16, height_camera_view_pu=16,
+        obs_type="camera_gray",
+    )
+    env = rcw.Env(rcw.MultiPlayerRoom(cfg), num_envs=8)
+    trainer = PPOTrainer(env, PPOConfig(rollout_steps=4, num_minibatches=2))
+    assert trainer.num_players == 2
+    ts = trainer.init(jax.random.PRNGKey(0))
+    for _ in range(2):
+        ts, metrics = trainer.train_step(ts)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["entropy"]))
+    # the policy net is single-agent shaped: folding, not a P-headed net
+    x = jnp.zeros((3, 16, 16, 1), jnp.float32)
+    logits, value = trainer.net.apply(ts.params, x)
+    assert logits.shape == (3, 4) and value.shape == (3,)
+
+
+def test_multi_agent_train_step_sharded():
+    """Same, under the virtual 8-device dp mesh."""
+    mesh = mesh_lib.make_mesh()
+    cfg = rcw.MultiPlayerConfig(
+        num_players=2, num_rays=16, height_camera_view_pu=16,
+        obs_type="camera_gray",
+    )
+    env = rcw.Env(rcw.MultiPlayerRoom(cfg), num_envs=16)
+    trainer = PPOTrainer(
+        env, PPOConfig(rollout_steps=4, num_minibatches=2), mesh=mesh
+    )
+    ts = trainer.init(jax.random.PRNGKey(1))
+    ts, metrics = trainer.train_step(ts)
+    assert np.isfinite(float(metrics["loss"]))
