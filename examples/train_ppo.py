@@ -37,6 +37,9 @@ def main():
                    choices=["float32", "bfloat16"])
     p.add_argument("--trunk", type=str, default="conv",
                    choices=["conv", "patch"])
+    p.add_argument("--recurrent", action="store_true",
+                   help="GRU actor-critic (parallel/ppo_rnn.py) for "
+                        "partially observable worlds; single device")
     p.add_argument("--mesh", action="store_true",
                    help="shard over all local devices (dp)")
     p.add_argument("--backend", type=str, default="")
@@ -63,16 +66,30 @@ def main():
         game = rcw.Maze(rcw.MazeConfig(**kw))
 
     env = rcw.Env(game, num_envs=args.num_envs, jit=False)
-    mesh = mesh_lib.make_mesh() if args.mesh else None
-    trainer = PPOTrainer(
-        env,
-        PPOConfig(rollout_steps=args.rollout_steps, lr=args.lr),
-        mesh=mesh,
-        hidden=args.hidden,
-        dtype=(jax.numpy.bfloat16 if args.dtype == "bfloat16"
-               else jax.numpy.float32),
-        trunk=args.trunk,
-    )
+    dtype = (jax.numpy.bfloat16 if args.dtype == "bfloat16"
+             else jax.numpy.float32)
+    if args.recurrent:
+        from raycastworlds_tpu.parallel.ppo_rnn import RecurrentPPOTrainer
+
+        if args.mesh:
+            raise SystemExit("--recurrent is single-device (no --mesh)")
+        trainer = RecurrentPPOTrainer(
+            env,
+            PPOConfig(rollout_steps=args.rollout_steps, lr=args.lr),
+            hidden=args.hidden,
+            dtype=dtype,
+            trunk=args.trunk,
+        )
+    else:
+        mesh = mesh_lib.make_mesh() if args.mesh else None
+        trainer = PPOTrainer(
+            env,
+            PPOConfig(rollout_steps=args.rollout_steps, lr=args.lr),
+            mesh=mesh,
+            hidden=args.hidden,
+            dtype=dtype,
+            trunk=args.trunk,
+        )
     ts, history = trainer.train(
         jax.random.PRNGKey(args.seed), args.updates, log_every=10
     )

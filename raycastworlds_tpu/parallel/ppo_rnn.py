@@ -1,0 +1,272 @@
+"""Recurrent PPO (GRU actor-critic) for partially observable worlds.
+
+The feedforward learner (parallel/ppo.py) sees one frame at a time; in Maze
+worlds the camera view rarely identifies the player's location, so the
+feedforward policy plateaus (docs/RESULTS.md).  This trainer carries a GRU
+hidden state through the rollout — reset at episode boundaries — and
+replays the recurrence during the update, the standard recurrent-PPO
+recipe:
+
+* rollout: one jitted ``lax.scan``; the hidden state is zeroed AFTER a done
+  transition so each episode starts from h=0;
+* update: minibatches are drawn over the ENV axis only (time order must be
+  preserved to replay the GRU); each minibatch replays its sequences from
+  the stored rollout-start hidden under the CURRENT parameters, then takes
+  the usual clipped-PPO step.  Hidden states pass between train steps
+  detached (truncated BPTT at the rollout boundary).
+
+No reference equivalent — the reference stops at the RL env adapter
+(/root/reference/src/single_room.jl:570-584).  Single-agent, single-device
+(fold a dp mesh over the env axis with the feedforward trainer if you need
+multi-chip; the env-axis minibatch gather here assumes local arrays).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import numpy as np
+import optax
+
+from ..env import Env
+from ..state import EnvState
+from .ppo import PPOConfig, compute_gae, preprocess_obs
+
+
+class RecurrentActorCritic(nn.Module):
+    """Conv/patch/MLP feature trunk -> GRU cell -> policy & value heads.
+
+    The GRU carry stays float32 across steps (stability); compute runs in
+    ``dtype`` like the feedforward net.
+    """
+
+    num_actions: int = 4
+    hidden: int = 256
+    dtype: Any = jnp.float32
+    trunk: str = "conv"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, h: jax.Array):
+        x = x.astype(self.dtype)
+        if x.ndim >= 4:  # [B, H, W, C] image
+            if self.trunk == "patch":
+                x = nn.Conv(
+                    64, (8, 8), strides=(8, 8), padding="VALID",
+                    dtype=self.dtype, name="patch",
+                )(x)
+                x = nn.relu(x)
+            else:
+                x = nn.Conv(16, (4, 4), strides=(2, 2), dtype=self.dtype)(x)
+                x = nn.relu(x)
+                x = nn.Conv(32, (4, 4), strides=(2, 2), dtype=self.dtype)(x)
+                x = nn.relu(x)
+            x = x.reshape(x.shape[0], -1)
+        e = nn.Dense(self.hidden, dtype=self.dtype, name="embed")(x)
+        e = nn.relu(e)
+        new_h, out = nn.GRUCell(
+            features=self.hidden, dtype=self.dtype, name="gru"
+        )(h.astype(self.dtype), e)
+        logits = nn.Dense(self.num_actions, dtype=self.dtype, name="policy")(out)
+        value = nn.Dense(1, dtype=self.dtype, name="value")(out)
+        return (
+            logits.astype(jnp.float32),
+            value.astype(jnp.float32)[..., 0],
+            new_h.astype(jnp.float32),
+        )
+
+
+class RnnTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    env_state: EnvState
+    hidden: jax.Array       # f32[B, hidden] — carried across train steps
+    key: jax.Array
+    update_count: jax.Array
+
+
+class RecurrentPPOTrainer:
+    """Owns the GRU network/optimizer and builds one jitted train step."""
+
+    def __init__(
+        self,
+        env: Env,
+        ppo_cfg: PPOConfig = PPOConfig(),
+        hidden: int = 256,
+        dtype: Any = jnp.float32,
+        trunk: str = "conv",
+    ):
+        if getattr(env.game, "action_shape", ()) != ():
+            raise ValueError(
+                "RecurrentPPOTrainer is single-agent; fold the player axis "
+                "with the feedforward PPOTrainer for MultiPlayerRoom"
+            )
+        if env.num_envs % ppo_cfg.num_minibatches:
+            raise ValueError("num_envs must divide by num_minibatches")
+        self.env = env
+        self.cfg = ppo_cfg
+        self.hidden = hidden
+        self.net = RecurrentActorCritic(
+            num_actions=env.game.num_actions, hidden=hidden, dtype=dtype,
+            trunk=trunk,
+        )
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(ppo_cfg.max_grad_norm),
+            optax.adam(ppo_cfg.lr),
+        )
+        self._train_step = jax.jit(self._train_step_impl)
+
+    def init(self, key: jax.Array) -> RnnTrainState:
+        k_env, k_net, k_run = jax.random.split(key, 3)
+        env_state, obs = self.env.reset(k_env)
+        h0 = jnp.zeros((self.env.num_envs, self.hidden), jnp.float32)
+        sample = preprocess_obs(self.env.cfg, obs[:1])
+        params = self.net.init(k_net, sample, h0[:1])
+        return RnnTrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            env_state=env_state,
+            hidden=h0,
+            key=k_run,
+            update_count=jnp.int32(0),
+        )
+
+    # -- the jitted train step ------------------------------------------
+
+    def _train_step_impl(self, ts: RnnTrainState):
+        env, cfg, net = self.env, self.cfg, self.net
+        key, k_roll, k_perm = jax.random.split(ts.key, 3)
+
+        # --- rollout with hidden carry ---------------------------------
+        def body(carry, k):
+            state, obs, h = carry
+            x = preprocess_obs(env.cfg, obs)
+            logits, value, h2 = net.apply(ts.params, x, h)
+            action = jax.random.categorical(k, logits).astype(jnp.int32)
+            log_prob = jnp.sum(
+                jax.nn.log_softmax(logits)
+                * jax.nn.one_hot(action, logits.shape[-1]),
+                axis=-1,
+            )
+            res = env._step_impl(state, action)
+            # episode boundary: next step starts a fresh episode -> h = 0
+            h_next = jnp.where(res.done[:, None], 0.0, h2)
+            rec = (obs, action, log_prob, value, res.reward, res.done)
+            return (res.state, res.obs, h_next), rec
+
+        obs0 = env.game.observe_batch(ts.env_state)
+        keys = jax.random.split(k_roll, cfg.rollout_steps)
+        (env_state, last_obs, h_last), (
+            obs_t, act_t, lp_t, val_t, rew_t, done_t
+        ) = jax.lax.scan(body, (ts.env_state, obs0, ts.hidden), keys)
+
+        _, last_value, _ = net.apply(
+            ts.params, preprocess_obs(env.cfg, last_obs), h_last
+        )
+        adv, target = compute_gae(
+            rew_t, val_t, done_t, last_value, cfg.gamma, cfg.gae_lambda,
+        )
+
+        # --- update: env-axis minibatches, sequence replay --------------
+        b = env.num_envs
+        mb = b // cfg.num_minibatches
+
+        def replay_loss(params, batch):
+            """Replay the GRU over [T, mb] sequences under ``params``."""
+
+            def step(h, inp):
+                o, d = inp
+                logits, value, h2 = net.apply(
+                    params, preprocess_obs(env.cfg, o), h
+                )
+                return jnp.where(d[:, None], 0.0, h2), (logits, value)
+
+            _, (logits, value) = jax.lax.scan(
+                step, batch["h0"], (batch["obs"], batch["done"])
+            )
+            log_probs = jax.nn.log_softmax(logits)          # [T, mb, A]
+            lp = jnp.sum(
+                log_probs * jax.nn.one_hot(batch["action"], logits.shape[-1]),
+                axis=-1,
+            )
+            ratio = jnp.exp(lp - batch["log_prob"])
+            a = batch["advantage"]
+            a = (a - a.mean()) / (a.std() + 1e-8)
+            unclipped = ratio * a
+            clipped = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * a
+            policy_loss = -jnp.mean(jnp.minimum(unclipped, clipped))
+            value_loss = 0.5 * jnp.mean((value - batch["target"]) ** 2)
+            entropy = -jnp.mean(
+                jnp.sum(jnp.exp(log_probs) * log_probs, axis=-1)
+            )
+            loss = (
+                policy_loss + cfg.vf_coef * value_loss - cfg.ent_coef * entropy
+            )
+            return loss, {
+                "loss": loss,
+                "policy_loss": policy_loss,
+                "value_loss": value_loss,
+                "entropy": entropy,
+            }
+
+        data = {
+            "obs": obs_t, "action": act_t, "log_prob": lp_t,
+            "advantage": adv, "target": target, "done": done_t,
+        }
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, kp = jax.random.split(key)
+            perm = jax.random.permutation(kp, b)
+
+            def minibatch(carry, i):
+                params, opt_state = carry
+                idx = jax.lax.dynamic_slice_in_dim(perm, i * mb, mb)
+                batch = {k: v[:, idx] for k, v in data.items()}
+                batch["h0"] = ts.hidden[idx]
+                grads, metrics = jax.grad(
+                    lambda p: replay_loss(p, batch), has_aux=True
+                )(params)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            (params, opt_state), metrics = jax.lax.scan(
+                minibatch, (params, opt_state),
+                jnp.arange(cfg.num_minibatches),
+            )
+            return (params, opt_state, key), metrics
+
+        (params, opt_state, _), metrics = jax.lax.scan(
+            epoch, (ts.params, ts.opt_state, k_perm), None,
+            length=cfg.num_epochs,
+        )
+
+        metrics = jax.tree_util.tree_map(jnp.mean, metrics)
+        metrics["reward_per_step"] = jnp.mean(rew_t)
+        metrics["episodes_finished"] = jnp.sum(done_t.astype(jnp.int32))
+
+        return RnnTrainState(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            hidden=h_last,
+            key=key,
+            update_count=ts.update_count + 1,
+        ), metrics
+
+    def train_step(self, ts: RnnTrainState):
+        return self._train_step(ts)
+
+    def train(self, key: jax.Array, num_updates: int, log_every: int = 10):
+        ts = self.init(key)
+        history = []
+        for u in range(num_updates):
+            ts, metrics = self.train_step(ts)
+            if (u + 1) % log_every == 0 or u == num_updates - 1:
+                m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                m["update"] = u + 1
+                history.append(m)
+        return ts, history

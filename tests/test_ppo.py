@@ -195,3 +195,50 @@ def test_multi_agent_train_step_sharded():
     ts = trainer.init(jax.random.PRNGKey(1))
     ts, metrics = trainer.train_step(ts)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_recurrent_ppo_train_step():
+    """GRU actor-critic: rollout carries hidden state (reset on done), the
+    update replays sequences per env-axis minibatch, losses finite, and the
+    hidden state actually changes the policy output."""
+    from raycastworlds_tpu.parallel.ppo_rnn import (
+        RecurrentActorCritic,
+        RecurrentPPOTrainer,
+    )
+
+    cfg = rcw.MazeConfig(
+        num_rays=16, height_camera_view_pu=16, obs_type="camera_gray",
+        height_tile_map_tu=9, width_tile_map_tu=9,
+    )
+    env = rcw.Env(rcw.Maze(cfg), num_envs=8)
+    trainer = RecurrentPPOTrainer(
+        env, PPOConfig(rollout_steps=6, num_minibatches=2), hidden=32
+    )
+    ts = trainer.init(jax.random.PRNGKey(0))
+    assert ts.hidden.shape == (8, 32)
+    for _ in range(2):
+        ts, metrics = trainer.train_step(ts)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(ts.update_count) == 2
+    # memory matters: same frame, different hidden -> different logits
+    net = trainer.net
+    x = jnp.ones((1, 16, 16, 1), jnp.float32)
+    h0 = jnp.zeros((1, 32), jnp.float32)
+    h1 = jnp.ones((1, 32), jnp.float32)
+    l0, v0, _ = net.apply(ts.params, x, h0)
+    l1, v1, _ = net.apply(ts.params, x, h1)
+    assert not np.allclose(np.asarray(l0), np.asarray(l1))
+
+
+def test_recurrent_ppo_rejects_multi_player():
+    from raycastworlds_tpu.parallel.ppo_rnn import RecurrentPPOTrainer
+
+    cfg = rcw.MultiPlayerConfig(
+        num_players=2, num_rays=16, height_camera_view_pu=16,
+        obs_type="camera_gray",
+    )
+    env = rcw.Env(rcw.MultiPlayerRoom(cfg), num_envs=4)
+    import pytest
+
+    with pytest.raises(ValueError, match="single-agent"):
+        RecurrentPPOTrainer(env)
