@@ -296,6 +296,17 @@ SUITE = [
     ("ref_default_res_pal8", dict(
         num_envs=1024, num_rays=512, height_px=256, obs="camera_pal8",
         steps=128, reps=3)),
+    # Pallas crossing kernel (candidates in registers): the fastest cast at
+    # >=256-ray resolutions — config-3 +51% and reference-default +27% over
+    # the best XLA-crossing numbers (docs/RESULTS.md round 4).  Small-ray /
+    # large-map shapes stay on the XLA crossing default, which wins there.
+    ("config3_pal8_kernel", dict(
+        game="random_room", num_envs=8192, num_rays=256, height_px=128,
+        obs="camera_pal8", reset_budget=256, steps=128, reps=3,
+        raycast="crossing_kernel")),
+    ("ref_default_pal8_kernel_4096", dict(
+        num_envs=4096, num_rays=512, height_px=256, obs="camera_pal8",
+        steps=64, reps=3, raycast="crossing_kernel")),
 ]
 
 

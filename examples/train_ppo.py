@@ -24,6 +24,8 @@ def main():
     p.add_argument("--num-players", type=int, default=2,
                    help="players per env (multi_player; one shared policy)")
     p.add_argument("--num-envs", type=int, default=256)
+    p.add_argument("--map-h", type=int, default=0, help="tile-map height override")
+    p.add_argument("--map-w", type=int, default=0, help="tile-map width override")
     p.add_argument("--updates", type=int, default=100)
     p.add_argument("--rollout-steps", type=int, default=64)
     p.add_argument("--num-rays", type=int, default=32)
@@ -54,6 +56,10 @@ def main():
 
     kw = dict(num_rays=args.num_rays, height_camera_view_pu=args.height_px,
               obs_type=args.obs, max_episode_steps=args.max_episode_steps)
+    if args.map_h:
+        kw["height_tile_map_tu"] = args.map_h
+    if args.map_w:
+        kw["width_tile_map_tu"] = args.map_w
     if args.game == "single_room":
         game = rcw.SingleRoom(rcw.EnvConfig(**kw))
     elif args.game == "random_room":

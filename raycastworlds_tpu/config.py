@@ -95,6 +95,17 @@ class EnvConfig:
     #                all H+W grid-line crossings — no scan carries, fuses
     #                with the renderer; own oracle parity mode, hit tiles
     #                agree with scan except exact-corner float coincidences)
+    #   "crossing_kernel" — the crossing formulation as a Pallas kernel:
+    #                the candidate loop runs in-kernel with the running min
+    #                in registers, so the [N, R] candidate arrays never
+    #                touch HBM (the measured wall at large ray counts,
+    #                docs/RESULTS.md round 4).  Batch path only (single-env
+    #                viewer casts fall back to XLA crossing); same closed
+    #                forms — Mosaic FMA contraction of the cross coordinate
+    #                can flip entered tiles only at exact-corner float
+    #                coincidences (empirically exact vs crossing on every
+    #                state tested; the parity GUARANTEE stays with
+    #                "crossing")
     #   "pallas"   — Pallas DDA kernel (same math as scan; cast only)
     #   "fused"    — Pallas DDA + camera-render in ONE kernel (kept as an
     #                option; measured SLOWER than crossing/scan on v5e and
@@ -167,8 +178,8 @@ class EnvConfig:
                 "(use camera_u32/camera_gray_u8 for textured walls)"
             )
         if self.raycast_backend not in (
-            "scan", "scan_flat", "crossing", "analytic", "pallas", "fused",
-            "auto",
+            "scan", "scan_flat", "crossing", "crossing_kernel", "analytic",
+            "pallas", "fused", "auto",
         ):
             raise ValueError(f"unknown raycast_backend: {self.raycast_backend}")
         if self.wall_texture not in ("none", "checker", "brick", "xor"):

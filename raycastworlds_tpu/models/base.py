@@ -228,6 +228,26 @@ class Game:
         cfg = self.cfg
         if self._use_analytic():
             return jax.vmap(self.cast_single)(state)
+        if cfg.raycast_backend == "crossing_kernel" and not cfg.continuous_heading:
+            b = state.pos_wu.shape[0]
+            r = cfg.num_rays
+            if b % 8 == 0 and (r <= 512 or r % 128 == 0):
+                from ..ops import raycast_crossing_kernel as rck
+
+                _, obstacle_words = self._packed_maps_batch(state)
+                dirs = lut.take_rows(
+                    jnp.asarray(cfg.ray_fan_lut), state.dir_au
+                )
+                hit_tu, hit_dim, dist = rck.cast_rays_crossing_kernel(
+                    obstacle_words, (cfg.H, cfg.W), state.pos_wu, dirs,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                return raycast.RayHits(
+                    ray_dirs=dirs, hit_tu=hit_tu, hit_dim=hit_dim,
+                    dist_wu=dist,
+                )
+            # batch shape the kernel can't block -> XLA crossing fallback
+            return jax.vmap(self.cast_single)(state)
         if not (self._use_pallas() or cfg.raycast_backend == "scan_flat"):
             return jax.vmap(self.cast_single)(state)
         _, obstacle_words = self._packed_maps_batch(state)

@@ -339,6 +339,7 @@ class PPOTrainer:
             env, policy, ts.env_state, k_roll, cfg.rollout_steps
         )
 
+        reward_per_player = None
         if self.num_players:
             # Fold the player axis into the env axis ([T, B, P, ...] ->
             # [T, B*P, ...]; B-major, so dp shard boundaries are preserved)
@@ -346,6 +347,7 @@ class PPOTrainer:
             # here on the update is exactly the single-agent path over B*P
             # "environments" sharing one set of weights.
             p = self.num_players
+            reward_per_player = jnp.mean(traj.reward, axis=(0, 1))  # [P]
 
             def fold(x):
                 return x.reshape(x.shape[:1] + (-1,) + x.shape[3:])
@@ -441,6 +443,9 @@ class PPOTrainer:
         metrics = jax.tree_util.tree_map(jnp.mean, metrics)
         metrics["reward_per_step"] = jnp.mean(traj.reward)
         metrics["episodes_finished"] = jnp.sum(traj.done.astype(jnp.int32))
+        if reward_per_player is not None:
+            for k in range(self.num_players):
+                metrics[f"reward_p{k}"] = reward_per_player[k]
 
         return TrainState(
             params=params,

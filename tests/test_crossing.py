@@ -202,3 +202,47 @@ def test_crossing_axis_aligned_and_degenerate_rays():
         assert (d > 0).all(), (pos, d)
         assert (ht[:, 0] >= 0).all() and (ht[:, 0] < cfg.H).all()
         assert (ht[:, 1] >= 0).all() and (ht[:, 1] < cfg.W).all()
+
+
+def test_crossing_kernel_matches_crossing():
+    """The Pallas crossing kernel (batch path, interpret mode on CPU)
+    agrees exactly with the XLA crossing backend — hits, dims, distances,
+    and the full camera observation — on random states of a bordered room
+    and a per-env generated maze."""
+    import dataclasses
+
+    cases = [
+        rcw.EnvConfig(num_rays=32, height_camera_view_pu=24),
+        rcw.MazeConfig(
+            num_rays=32, height_camera_view_pu=24,
+            height_tile_map_tu=9, width_tile_map_tu=9,
+        ),
+    ]
+    for cfg in cases:
+        gx = (rcw.Maze if isinstance(cfg, rcw.MazeConfig) else rcw.SingleRoom)(
+            dataclasses.replace(cfg, raycast_backend="crossing")
+        )
+        gk = type(gx)(dataclasses.replace(cfg, raycast_backend="crossing_kernel"))
+        keys = jax.random.split(jax.random.PRNGKey(11), 16)
+        state = jax.jit(jax.vmap(gx.reset_single))(keys)
+        hx = jax.jit(gx.cast_batch)(state)
+        hk = jax.jit(gk.cast_batch)(state)
+        np.testing.assert_array_equal(np.asarray(hx.hit_tu), np.asarray(hk.hit_tu))
+        np.testing.assert_array_equal(np.asarray(hx.hit_dim), np.asarray(hk.hit_dim))
+        np.testing.assert_array_equal(np.asarray(hx.dist_wu), np.asarray(hk.dist_wu))
+        np.testing.assert_array_equal(
+            np.asarray(jax.jit(gx.observe_batch)(state)),
+            np.asarray(jax.jit(gk.observe_batch)(state)),
+        )
+
+
+def test_crossing_kernel_odd_batch_falls_back():
+    """Batch sizes the kernel can't block fall back to the XLA crossing."""
+    cfg = rcw.EnvConfig(
+        num_rays=16, height_camera_view_pu=16,
+        raycast_backend="crossing_kernel",
+    )
+    env = rcw.Env(rcw.SingleRoom(cfg), num_envs=3)  # 3 % 8 != 0
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    res = env.step(state, jnp.zeros(3, jnp.int32))
+    assert res.obs.shape == (3, 16, 16)
