@@ -64,7 +64,7 @@ def _roofline(cfg, obs: str, sps: float) -> dict:
     backend = cfg.resolved_raycast_backend
     if backend == "analytic":
         dda_ops = r * 40.0 * 4  # border + K boxes closed forms
-    elif backend == "crossing":
+    elif backend in ("crossing", "crossing_kernel"):
         dda_ops = r * (h + w) * 14.0 + 2.0 * h * w
     else:
         dda_ops = r * cfg.dda_steps * (30.0 + 2.0 * nw)
@@ -303,7 +303,7 @@ SUITE = [
     ("config3_pal8_kernel", dict(
         game="random_room", num_envs=8192, num_rays=256, height_px=128,
         obs="camera_pal8", reset_budget=256, steps=128, reps=3,
-        raycast="crossing_kernel")),
+        raycast="crossing_kernel_fused")),
     ("ref_default_pal8_kernel_4096", dict(
         num_envs=4096, num_rays=512, height_px=256, obs="camera_pal8",
         steps=64, reps=3, raycast="crossing_kernel")),

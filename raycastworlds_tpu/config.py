@@ -106,6 +106,12 @@ class EnvConfig:
     #                coincidences (empirically exact vs crossing on every
     #                state tested; the parity GUARANTEE stays with
     #                "crossing")
+    #   "crossing_kernel_fused" — crossing_kernel plus the pal8 camera
+    #                compositing INSIDE the kernel (single-goal flat pal8
+    #                frames only; other obs forms take the split kernel).
+    #                Measured: +5% at config-3, -9% at reference-default vs
+    #                the split kernel (docs/RESULTS.md round 4) — kept as
+    #                an explicit option, not the recommendation
     #   "pallas"   — Pallas DDA kernel (same math as scan; cast only)
     #   "fused"    — Pallas DDA + camera-render in ONE kernel (kept as an
     #                option; measured SLOWER than crossing/scan on v5e and
@@ -178,8 +184,8 @@ class EnvConfig:
                 "(use camera_u32/camera_gray_u8 for textured walls)"
             )
         if self.raycast_backend not in (
-            "scan", "scan_flat", "crossing", "crossing_kernel", "analytic",
-            "pallas", "fused", "auto",
+            "scan", "scan_flat", "crossing", "crossing_kernel",
+            "crossing_kernel_fused", "analytic", "pallas", "fused", "auto",
         ):
             raise ValueError(f"unknown raycast_backend: {self.raycast_backend}")
         if self.wall_texture not in ("none", "checker", "brick", "xor"):

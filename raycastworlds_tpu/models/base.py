@@ -228,7 +228,10 @@ class Game:
         cfg = self.cfg
         if self._use_analytic():
             return jax.vmap(self.cast_single)(state)
-        if cfg.raycast_backend == "crossing_kernel" and not cfg.continuous_heading:
+        if (
+            cfg.raycast_backend in ("crossing_kernel", "crossing_kernel_fused")
+            and not cfg.continuous_heading
+        ):
             b = state.pos_wu.shape[0]
             r = cfg.num_rays
             if b % 8 == 0 and (r <= 512 or r % 128 == 0):
@@ -287,10 +290,44 @@ class Game:
             and self.cfg.dtype == "float32"
         )
 
+    def _use_kernel_pal8(self, state: EnvState) -> bool:
+        """Fused cast+render pal8 path of the crossing kernel: single-goal
+        flat-shaded pal8 camera frames only (the slab color is goal-vs-wall
+        by tile equality in-kernel); everything else renders in XLA."""
+        cfg = self.cfg
+        b = state.pos_wu.shape[0]
+        return (
+            cfg.raycast_backend == "crossing_kernel_fused"
+            and cfg.obs_type == "camera_pal8"
+            and cfg.wall_texture == "none"
+            and not cfg.continuous_heading
+            and state.goal_words is None
+            and self._block_words_batch(state) is None
+            and b % 8 == 0
+            and (cfg.num_rays <= 512 or cfg.num_rays % 128 == 0)
+        )
+
     def observe_batch(self, state: EnvState) -> jax.Array:
         cfg = self.cfg
         if cfg.obs_type in ("top_u32", "top_rgb"):
             return jax.vmap(self.observe_single)(state)
+        if self._use_kernel_pal8(state):
+            from ..ops import raycast_crossing_kernel as rck
+
+            _, obstacle_words = self._packed_maps_batch(state)
+            dirs = lut.take_rows(
+                jnp.asarray(cfg.ray_fan_lut_flipped), state.dir_au
+            )
+            pdir = lut.take_rows(
+                jnp.asarray(cfg.directions_wu), state.dir_au
+            )
+            return rck.cast_render_pal8_kernel(
+                obstacle_words, (cfg.H, cfg.W), state.pos_wu, dirs, pdir,
+                state.goal_tu, cfg.height_camera_view_pu,
+                float(cfg.float_dtype(cfg.camera_height_tile_wu * cfg.num_rays)),
+                float(cfg.float_dtype(2.0 * cfg.semi_field_of_view_wu)),
+                interpret=jax.default_backend() != "tpu",
+            )
         if self._use_fused():
             from ..ops import render_fused
 

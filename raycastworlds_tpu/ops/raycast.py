@@ -510,8 +510,10 @@ def cast_rays(
         if ray_dirs is not None
         else lut_ops.take_rows(jnp.asarray(cfg.ray_fan_lut), dir_au)
     )  # [R, 2]
-    if cfg.resolved_raycast_backend in ("crossing", "crossing_kernel"):
-        # crossing_kernel is a BATCH-path backend (Game.cast_batch); the
+    if cfg.resolved_raycast_backend in (
+        "crossing", "crossing_kernel", "crossing_kernel_fused"
+    ):
+        # the kernel variants are BATCH-path backends (Game.cast_batch);
         # single-env casts (viewers, top views) share the XLA crossing.
         hit_tu, hit_dim, dist = cast_rays_crossing(
             obstacle_words, (cfg.H, cfg.W), pos_wu, dirs

@@ -117,21 +117,15 @@ def _kernel(
     dist_ref, hi_ref, hj_ref, hd_ref,
     *, h: int, w: int, n_lw_i: int, n_lw_j: int,
 ):
-    dx = dx_ref[:]                                           # [E, Rb]
-    dy = dy_ref[:]
-    px = px_ref[:]                                           # [E, 1]
-    py = py_ref[:]
-    ti, ii, ji = _axis_loop(
-        dx, dy, px, py, h, w, True, wpi_ref, wmi_ref, m0i_ref, n_lw_i
+    dist, hit_i, hit_j, use_j = _cast_block(
+        dx_ref[:], dy_ref[:], px_ref[:], py_ref[:],
+        wpi_ref, wmi_ref, wpj_ref, wmj_ref, m0i_ref, m0j_ref,
+        h, w, n_lw_i, n_lw_j,
     )
-    tj, jj, ij = _axis_loop(
-        dy, dx, py, px, w, h, False, wpj_ref, wmj_ref, m0j_ref, n_lw_j
-    )
-    use_j = tj <= ti  # ties check j first, like the sequential march
-    dist_ref[:] = jnp.where(use_j, tj, ti)
+    dist_ref[:] = dist
     hd_ref[:] = jnp.where(use_j, 1, 0).astype(jnp.int32)
-    hi_ref[:] = jnp.where(use_j, ij, ii)
-    hj_ref[:] = jnp.where(use_j, jj, ji)
+    hi_ref[:] = hit_i
+    hj_ref[:] = hit_j
 
 
 def _candidate_words(line_words, main0, n, size_main):
@@ -162,6 +156,195 @@ def _candidate_words(line_words, main0, n, size_main):
     return take(m_plus), take(m_minus)
 
 
+def _cast_block(dx, dy, px, py, wpi_ref, wmi_ref, wpj_ref, wmj_ref,
+                m0i_ref, m0j_ref, h, w, n_lw_i, n_lw_j):
+    """Shared cast body: both axes + combination, on one [E, Rb] block."""
+    ti, ii, ji = _axis_loop(
+        dx, dy, px, py, h, w, True, wpi_ref, wmi_ref, m0i_ref, n_lw_i
+    )
+    tj, jj, ij = _axis_loop(
+        dy, dx, py, px, w, h, False, wpj_ref, wmj_ref, m0j_ref, n_lw_j
+    )
+    use_j = tj <= ti  # ties check j first, like the sequential march
+    dist = jnp.where(use_j, tj, ti)
+    hit_i = jnp.where(use_j, ij, ii)
+    hit_j = jnp.where(use_j, jj, ji)
+    return dist, hit_i, hit_j, use_j
+
+
+def _render_pal8_kernel(
+    dx_ref, dy_ref, px_ref, py_ref,
+    wpi_ref, wmi_ref, wpj_ref, wmj_ref,
+    m0i_ref, m0j_ref, pdx_ref, pdy_ref, gi_ref, gj_ref,
+    img_ref,
+    *, h: int, w: int, n_lw_i: int, n_lw_j: int,
+    hpu: int, num: float, denom: float, e_blk: int,
+):
+    """Cast + pal8 camera compositing in ONE kernel
+    (``raycast_backend="crossing_kernel_fused"``).
+
+    The ray fan arrives PRE-FLIPPED (cfg.ray_fan_lut_flipped), so image
+    columns come out in natural order — the mirror (ref :431) costs
+    nothing.  Column geometry mirrors ops/render._column_pads; slab color
+    is goal-vs-wall by hit-tile equality with the (single) goal tile,
+    equivalent to the wall-bit lookup whenever the obstacle union is
+    walls | goal and the goal sits on an empty tile (all single-goal
+    families) — multi-goal/block layers fall back to the XLA render.
+
+    Measured verdict (docs/RESULTS.md round 4): vs the split kernel +
+    XLA render, +5% at config-3 (5.14M) but -9% at reference-default
+    (1.71M vs 1.87M) — the per-env compositing loop doesn't beat XLA's
+    fused render, so this stays an explicit option rather than the
+    recommended path.
+    """
+    from .. import colors
+
+    dx = dx_ref[:]
+    dy = dy_ref[:]
+    dist, hit_i, hit_j, use_j = _cast_block(
+        dx, dy, px_ref[:], py_ref[:], wpi_ref, wmi_ref, wpj_ref, wmj_ref,
+        m0i_ref, m0j_ref, h, w, n_lw_i, n_lw_j,
+    )
+    f32 = dist.dtype
+    proj = dist * (pdx_ref[:] * dx + pdy_ref[:] * dy)         # [E, Rb]
+    height_line = jnp.float32(num) / (jnp.float32(denom) * proj)
+    finite = jnp.isfinite(height_line)
+    h_pu = jnp.where(
+        finite,
+        jnp.floor(
+            jnp.minimum(height_line, jnp.asarray(hpu, f32))
+        ).astype(jnp.int32),
+        hpu,
+    )
+    full = h_pu >= hpu - 1
+    pad = jnp.where(full, 0, (hpu - h_pu) // 2)               # [E, Rb]
+    dim_i = jnp.logical_not(use_j)
+    is_goal = (hit_i == gi_ref[:]) & (hit_j == gj_ref[:])
+    # compositing stays in int32 lanes (mixing (8,128)-tiled bools with
+    # (32,128)-tiled u8 vectors trips Mosaic relayout); one i32->u8
+    # conversion happens at the final image write
+    slab = jnp.where(
+        is_goal,
+        jnp.where(
+            dim_i, colors.PAL_GOAL_DIM_I, colors.PAL_GOAL_DIM_J
+        ),
+        jnp.where(
+            dim_i, colors.PAL_WALL_DIM_I, colors.PAL_WALL_DIM_J
+        ),
+    ).astype(jnp.int32)                                        # i32[E, Rb]
+    r_blk = dx.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hpu, r_blk), 0)
+    for e in range(e_blk):
+        pad_e = pad[e][None, :]                                # [1, Rb]
+        img = jnp.where(
+            rows < pad_e,
+            colors.PAL_CEILING,
+            jnp.where(
+                rows >= hpu - pad_e,
+                colors.PAL_FLOOR,
+                slab[e][None, :],
+            ),
+        )
+        img_ref[e] = img.astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shape", "hpu", "num", "denom", "interpret"),
+)
+def cast_render_pal8_kernel(
+    obstacle_words: jax.Array,   # u32[B, NW]
+    shape: Tuple[int, int],
+    pos_wu: jax.Array,           # f32[B, 2]
+    ray_dirs_flipped: jax.Array,  # f32[B, R, 2] — PRE-FLIPPED fan
+    player_dir: jax.Array,       # f32[B, 2]
+    goal_tu: jax.Array,          # i32[B, 2]
+    hpu: int,
+    num: float,
+    denom: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """uint8[B, hpu, R] pal8 camera images, cast + render fused in-kernel."""
+    h, w = shape
+    b, r, _ = ray_dirs_flipped.shape
+    if b % _E_BLK:
+        raise ValueError(f"kernel backend needs num_envs % {_E_BLK} == 0")
+    r_blk = r if r <= 512 else 128
+    if r % r_blk:
+        raise ValueError("num_rays must be <= 512 or a multiple of 128")
+
+    (px, py, main0_i, main0_j, wpi, wmi, wpj, wmj) = _kernel_operands(
+        obstacle_words, shape, pos_wu
+    )
+    dx = ray_dirs_flipped[:, :, 0]
+    dy = ray_dirs_flipped[:, :, 1]
+    pdx = player_dir[:, 0:1]
+    pdy = player_dir[:, 1:2]
+    gi = goal_tu[:, 0:1]
+    gj = goal_tu[:, 1:2]
+
+    grid = (b // _E_BLK, r // r_blk)
+
+    def env_spec(cols):
+        return pl.BlockSpec(
+            (_E_BLK, cols), lambda e, j: (e, 0), memory_space=pltpu.VMEM
+        )
+
+    ray_spec = pl.BlockSpec(
+        (_E_BLK, r_blk), lambda e, j: (e, j), memory_space=pltpu.VMEM
+    )
+    img_spec = pl.BlockSpec(
+        (_E_BLK, hpu, r_blk), lambda e, j: (e, 0, j),
+        memory_space=pltpu.VMEM,
+    )
+    kern = functools.partial(
+        _render_pal8_kernel, h=h, w=w,
+        n_lw_i=wpi.shape[1] // h, n_lw_j=wpj.shape[1] // w,
+        hpu=hpu, num=num, denom=denom, e_blk=_E_BLK,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            ray_spec, ray_spec,
+            env_spec(1), env_spec(1),
+            env_spec(wpi.shape[1]), env_spec(wpi.shape[1]),
+            env_spec(wpj.shape[1]), env_spec(wpj.shape[1]),
+            env_spec(1), env_spec(1),
+            env_spec(1), env_spec(1), env_spec(1), env_spec(1),
+        ],
+        out_specs=img_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hpu, r), jnp.uint8),
+        interpret=interpret,
+    )(dx, dy, px, py, wpi, wmi, wpj, wmj, main0_i, main0_j,
+      pdx, pdy, gi, gj)
+
+
+def _kernel_operands(obstacle_words, shape, pos_wu):
+    """Shared host-side (XLA) precompute: positions, first-tile indices, and
+    per-candidate occupancy words for both axes and step signs."""
+    h, w = shape
+    b = pos_wu.shape[0]
+    dense = jax.vmap(
+        lambda ww: bitmap.unpack_bits(ww, (h, w)).astype(jnp.uint32)
+    )(obstacle_words)
+    row_words = jax.vmap(lambda d: jnp.stack(_row_line_words(d)))(dense)
+    col_words = jax.vmap(lambda d: jnp.stack(_col_line_words(d)))(dense)
+    n_lw_i = row_words.shape[1]
+    n_lw_j = col_words.shape[1]
+    px = pos_wu[:, 0:1]
+    py = pos_wu[:, 1:2]
+    main0_i = jnp.floor(px).astype(jnp.int32)
+    main0_j = jnp.floor(py).astype(jnp.int32)
+    wpi, wmi = _candidate_words(row_words, main0_i[:, 0], h, h)
+    wpj, wmj = _candidate_words(col_words, main0_j[:, 0], w, w)
+    return (
+        px, py, main0_i, main0_j,
+        wpi.reshape(b, h * n_lw_i), wmi.reshape(b, h * n_lw_i),
+        wpj.reshape(b, w * n_lw_j), wmj.reshape(b, w * n_lw_j),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("shape", "interpret"))
 def cast_rays_crossing_kernel(
     obstacle_words: jax.Array,   # u32[B, NW]
@@ -184,25 +367,11 @@ def cast_rays_crossing_kernel(
     if r % r_blk:
         raise ValueError("num_rays must be <= 512 or a multiple of 128")
 
-    dense = jax.vmap(
-        lambda ww: bitmap.unpack_bits(ww, (h, w)).astype(jnp.uint32)
-    )(obstacle_words)
-    row_words = jax.vmap(lambda d: jnp.stack(_row_line_words(d)))(dense)
-    col_words = jax.vmap(lambda d: jnp.stack(_col_line_words(d)))(dense)
-    n_lw_i = row_words.shape[1]   # ceil(W/32): word count along a row
-    n_lw_j = col_words.shape[1]   # ceil(H/32)
-
-    px = pos_wu[:, 0:1]
-    py = pos_wu[:, 1:2]
-    main0_i = jnp.floor(px).astype(jnp.int32)
-    main0_j = jnp.floor(py).astype(jnp.int32)
-    wpi, wmi = _candidate_words(row_words, main0_i[:, 0], h, h)
-    wpj, wmj = _candidate_words(col_words, main0_j[:, 0], w, w)
-    # flatten candidate-word layout to [B, n*n_lw], index k*n_lw + q
-    wpi = wpi.reshape(b, h * n_lw_i)
-    wmi = wmi.reshape(b, h * n_lw_i)
-    wpj = wpj.reshape(b, w * n_lw_j)
-    wmj = wmj.reshape(b, w * n_lw_j)
+    (px, py, main0_i, main0_j, wpi, wmi, wpj, wmj) = _kernel_operands(
+        obstacle_words, shape, pos_wu
+    )
+    n_lw_i = wpi.shape[1] // h
+    n_lw_j = wpj.shape[1] // w
 
     dx = ray_dirs[:, :, 0]
     dy = ray_dirs[:, :, 1]

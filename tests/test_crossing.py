@@ -236,6 +236,34 @@ def test_crossing_kernel_matches_crossing():
         )
 
 
+def test_crossing_kernel_fused_pal8_matches_xla_render():
+    """crossing_kernel_fused: the in-kernel pal8 compositing reproduces the
+    XLA pal8 render exactly (single-goal families)."""
+    import dataclasses
+
+    for cfg in [
+        rcw.EnvConfig(
+            num_rays=32, height_camera_view_pu=24, obs_type="camera_pal8"
+        ),
+        rcw.MazeConfig(
+            num_rays=32, height_camera_view_pu=24, obs_type="camera_pal8",
+            height_tile_map_tu=9, width_tile_map_tu=9,
+        ),
+    ]:
+        cls = rcw.Maze if isinstance(cfg, rcw.MazeConfig) else rcw.SingleRoom
+        gx = cls(dataclasses.replace(cfg, raycast_backend="crossing"))
+        gk = cls(
+            dataclasses.replace(cfg, raycast_backend="crossing_kernel_fused")
+        )
+        state = jax.jit(jax.vmap(gx.reset_single))(
+            jax.random.split(jax.random.PRNGKey(2), 16)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(jax.jit(gx.observe_batch)(state)),
+            np.asarray(jax.jit(gk.observe_batch)(state)),
+        )
+
+
 def test_crossing_kernel_odd_batch_falls_back():
     """Batch sizes the kernel can't block fall back to the XLA crossing."""
     cfg = rcw.EnvConfig(
