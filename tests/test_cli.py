@@ -73,6 +73,41 @@ def test_bench_ppo_smoke():
     assert r["value"] > 0
 
 
+def test_bench_ppo_multi_player_smoke():
+    out = run_cli([
+        "bench_ppo.py", "--backend", "cpu", "--game", "multi_player",
+        "--num-players", "2",
+        "--num-envs", "8", "--rollout-steps", "4", "--updates", "2",
+        "--num-rays", "8", "--height-px", "8", "--hidden", "16",
+    ])
+    r = last_json(out)
+    assert r["metric"] == "ppo_env_steps_per_sec"
+    assert r["config"]["num_players"] == 2
+    assert r["value"] > 0
+
+
+def test_train_ppo_recurrent_smoke():
+    out = run_cli([
+        "examples/train_ppo.py", "--backend", "cpu", "--recurrent",
+        "--game", "maze", "--map-h", "7", "--map-w", "7",
+        "--num-envs", "8", "--updates", "2", "--rollout-steps", "4",
+        "--num-rays", "8", "--height-px", "8", "--hidden", "16",
+    ])
+    r = last_json(out)
+    assert "loss" in r
+
+
+def test_train_ppo_multi_player_smoke():
+    out = run_cli([
+        "examples/train_ppo.py", "--backend", "cpu",
+        "--game", "multi_player", "--num-players", "2",
+        "--num-envs", "8", "--updates", "2", "--rollout-steps", "4",
+        "--num-rays", "8", "--height-px", "8", "--hidden", "16",
+    ])
+    r = last_json(out)
+    assert "loss" in r and "reward_p1" in r
+
+
 def test_rollout_demo_smoke():
     out = run_cli([
         "examples/rollout_demo.py", "--backend", "cpu",
