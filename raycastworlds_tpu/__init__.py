@@ -32,7 +32,7 @@ from .models.maze import Maze, MazeConfig
 from .models.multi_goal import MultiGoalRoom, MultiGoalConfig
 from .models.dynamic_room import DynamicRoom, DynamicRoomConfig
 from .models.multi_player import MultiPlayerRoom, MultiPlayerConfig
-from .gym_compat import GymAdapter
+from .gym_compat import GymAdapter, GymVectorAdapter
 from .wrappers import FrameStack, ObsTransform
 from . import colors
 
@@ -56,6 +56,7 @@ __all__ = [
     "MultiPlayerRoom",
     "MultiPlayerConfig",
     "GymAdapter",
+    "GymVectorAdapter",
     "FrameStack",
     "ObsTransform",
     "tile_map",

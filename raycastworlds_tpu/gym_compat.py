@@ -79,3 +79,69 @@ class GymAdapter:
 
     def close(self) -> None:
         self._state = None
+
+
+class GymVectorAdapter:
+    """Imperative vectorized facade matching the gymnasium.vector.VectorEnv
+    contract (reset -> (obs[N], info), step -> (obs[N], reward[N],
+    terminated[N], truncated[N], info)) with autoreset: the obs returned for
+    a finished env already belongs to its next episode, while
+    reward/terminated/truncated describe the finishing transition — the
+    standard vector-env convention, and exactly what the batched
+    functional :class:`Env` computes natively.  Everything stays one jitted
+    device program per step; only the returned arrays cross to the host.
+    """
+
+    metadata = {"render_modes": ["rgb_array"]}
+
+    def __init__(self, game: Game, num_envs: int, reset_budget: int = 0):
+        if getattr(game, "action_shape", ()) != ():
+            raise ValueError(
+                "GymVectorAdapter is single-agent (scalar action per env); "
+                "drive MultiPlayerRoom through the batched Env API instead"
+            )
+        self.num_envs = num_envs
+        self._env = Env(
+            game, num_envs=num_envs, auto_reset=True,
+            reset_budget=reset_budget,
+        )
+        self._state = None
+        self._key = jax.random.PRNGKey(0)
+        self.single_action_space = self._env.action_space
+        self.single_observation_space = self._env.observation_space
+
+    def reset(
+        self, seed: Optional[int] = None, options: Optional[dict] = None
+    ) -> Tuple[np.ndarray, Dict[str, Any]]:
+        if seed is not None:
+            self._key = jax.random.PRNGKey(seed)
+        self._key, k_reset = jax.random.split(self._key)
+        self._state, obs = self._env.reset(k_reset)
+        return np.asarray(obs), {}
+
+    def step(self, actions):
+        if self._state is None:
+            raise RuntimeError("call reset() before step()")
+        res = self._env.step(
+            self._state, jnp.asarray(np.asarray(actions), jnp.int32)
+        )
+        self._state = res.state
+        terminated = np.asarray(res.info["terminated"])
+        truncated = np.asarray(res.info["truncated"])
+        info = {k: np.asarray(v) for k, v in res.info.items()}
+        return (
+            np.asarray(res.obs),
+            np.asarray(res.reward),
+            terminated,
+            truncated,
+            info,
+        )
+
+    def render(self) -> np.ndarray:
+        """uint8 RGB frames [N, H, W, 3] of the camera views."""
+        from .colors import u32_to_rgb
+
+        return u32_to_rgb(np.asarray(self._env.camera_view(self._state)))
+
+    def close(self) -> None:
+        self._state = None

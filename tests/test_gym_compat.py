@@ -1,6 +1,7 @@
 """GymAdapter single-env facade tests."""
 
 import numpy as np
+import pytest
 
 import raycastworlds_tpu as rcw
 
@@ -25,3 +26,33 @@ def test_gym_adapter_loop():
     frame = env.render()
     assert frame.shape == (16, 16, 3) and frame.dtype == np.uint8
     env.close()
+
+
+def test_vector_adapter_contract():
+    """GymVectorAdapter: batched 5-tuple with autoreset semantics."""
+    cfg = rcw.EnvConfig(num_rays=16, height_camera_view_pu=16)
+    venv = rcw.GymVectorAdapter(rcw.SingleRoom(cfg), num_envs=4)
+    obs, info = venv.reset(seed=0)
+    assert obs.shape == (4, 16, 16) and isinstance(info, dict)
+    for _ in range(5):
+        obs, rew, term, trunc, info = venv.step(np.zeros(4, np.int64))
+        assert obs.shape == (4, 16, 16)
+        assert rew.shape == term.shape == trunc.shape == (4,)
+    frames = venv.render()
+    assert frames.shape == (4, 16, 16, 3) and frames.dtype == np.uint8
+    # determinism under explicit seeds
+    a, _ = venv.reset(seed=7)
+    b, _ = venv.reset(seed=7)
+    np.testing.assert_array_equal(a, b)
+    # unseeded resets continue the stream (different episodes)
+    c, _ = venv.reset()
+    assert not (a == c).all()
+    venv.close()
+
+
+def test_vector_adapter_rejects_multi_player():
+    cfg = rcw.MultiPlayerConfig(
+        num_players=2, num_rays=16, height_camera_view_pu=16
+    )
+    with pytest.raises(ValueError, match="single-agent"):
+        rcw.GymVectorAdapter(rcw.MultiPlayerRoom(cfg), num_envs=2)
