@@ -133,23 +133,31 @@ class Env:
 
     def _step_impl(self, state: EnvState, action: jax.Array) -> StepResult:
         stepped = jax.vmap(self.game.step_single)(state, action)
-        # Envs awaiting a budgeted reset are frozen: their step is discarded.
-        frozen = state.pending_reset
-        stepped = _select(frozen, state, stepped)
-        # reward may carry a trailing per-player axis (MultiPlayerRoom), so
-        # the frozen mask is broadcast rank-aware.
-        fz = frozen.reshape(
-            frozen.shape + (1,) * (stepped.reward.ndim - frozen.ndim)
-        )
-        stepped = stepped.replace(
-            reward=jnp.where(fz, 0.0, stepped.reward),
-            done=jnp.where(frozen, False, stepped.done),
-        )
+        if self.reset_budget > 0:
+            # Envs awaiting a budgeted reset are frozen: their step is
+            # discarded.  (Dense mode skips all of this — pending_reset is
+            # constant-false there, and the per-leaf select was pure dead
+            # work XLA cannot eliminate from a traced bool.)
+            frozen = state.pending_reset
+            stepped = _select(frozen, state, stepped)
+            # reward may carry a trailing per-player axis (MultiPlayerRoom),
+            # so the frozen mask is broadcast rank-aware.
+            fz = frozen.reshape(
+                frozen.shape + (1,) * (stepped.reward.ndim - frozen.ndim)
+            )
+            stepped = stepped.replace(
+                reward=jnp.where(fz, 0.0, stepped.reward),
+                done=jnp.where(frozen, False, stepped.done),
+            )
+        else:
+            frozen = None
         terminated = stepped.done
         if self.cfg.max_episode_steps > 0:
-            truncated = ~terminated & ~frozen & (
+            truncated = ~terminated & (
                 stepped.t >= self.cfg.max_episode_steps
             )
+            if frozen is not None:
+                truncated = truncated & ~frozen
         else:
             truncated = jnp.zeros_like(terminated)
         ep_end = terminated | truncated
