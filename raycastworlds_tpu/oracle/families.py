@@ -615,6 +615,131 @@ class OracleMultiPlayer(OracleWorld):
             img[top:bottom, r - 1 - ridx] = colors.TILE_BLOCK
 
 
+class OracleMultiPlayerContinuous(OracleMultiPlayer):
+    """OracleMultiPlayer with continuous float headings: uniform float32
+    heading draws, fractional turns, live per-player direction vectors and
+    ray fans (same shared-transcendental contract as OracleContinuous)."""
+
+    def reset(self, key) -> None:
+        import jax
+
+        super().reset(key)
+        # re-derive the heading draws as the continuous branch does
+        # (sampling.sample_heading continuous=True): same k_dirs splits,
+        # uniform instead of randint
+        _, _, _, k_dirs = jax.random.split(key, 4)
+        dkeys = jax.random.split(k_dirs, self.p)
+        self.pdir = [
+            np.float32(np.asarray(jax.random.uniform(
+                dkeys[i], (), dtype="float32",
+                maxval=float(self.cfg.num_directions),
+            )))
+            for i in range(self.p)
+        ]
+
+    def _pdir_vec(self, dir_au) -> np.ndarray:
+        import jax.numpy as jnp
+
+        ang = np.float32(dir_au) * np.float32(
+            2.0 * np.pi / self.cfg.num_directions
+        )
+        return np.array(
+            [np.asarray(jnp.cos(jnp.float32(ang))),
+             np.asarray(jnp.sin(jnp.float32(ang)))], np.float32,
+        )
+
+    def player_dir(self) -> np.ndarray:
+        return self._pdir_vec(self.dir_au)
+
+    def ray_fan(self) -> np.ndarray:
+        cfg = self.cfg
+        d = self.player_dir()
+        cam = np.array([d[1], -d[0]], np.float32)
+        s = np.float32(cfg.semi_field_of_view_wu)
+        first = (d + s * cam).astype(np.float32)
+        last = (d - s * cam).astype(np.float32)
+        r = cfg.num_rays
+        t = (np.arange(r, dtype=np.float32) / np.float32(r - 1))[:, None]
+        un = (first[None, :] + t * (last - first)[None, :]).astype(np.float32)
+        norm = np.sqrt(np.sum(un * un, axis=-1, keepdims=True)).astype(
+            np.float32
+        )
+        return (un / norm).astype(np.float32)
+
+    def step(self, actions) -> None:
+        cfg = self.cfg
+        p = self.p
+        inc = np.float32(cfg.position_increment_wu)
+        thresh = np.float32((2.0 * cfg.player_radius_wu) ** 2)
+
+        moving = [a < 2 for a in actions]
+        cand = self.ppos.copy()
+        for i in range(p):
+            d = self._pdir_vec(self.pdir[i])
+            sign = np.float32(1.0 if actions[i] == 0 else -1.0)
+            cand[i] = (self.ppos[i] + np.float32(sign * inc) * d).astype(
+                np.float32
+            )
+
+        hit_goal = [
+            moving[i]
+            and self._circle_hits_tile(cand[i], self.goal_tu[0], self.goal_tu[1])
+            for i in range(p)
+        ]
+        hit_wall = [
+            moving[i] and self._is_colliding(self.wall_map, cand[i])
+            for i in range(p)
+        ]
+
+        def d2(a, b):
+            dx = np.float32(a[0] - b[0])
+            dy = np.float32(a[1] - b[1])
+            return np.float32(dx * dx + dy * dy)
+
+        hit_player = [False] * p
+        if cfg.player_collision:
+            for i in range(p):
+                hit_player[i] = moving[i] and any(
+                    d2(cand[i], self.ppos[j]) < thresh
+                    for j in range(p) if j != i
+                )
+            base_ok = [
+                moving[i] and not hit_goal[i] and not hit_wall[i]
+                and not hit_player[i]
+                for i in range(p)
+            ]
+            for i in range(p):
+                if moving[i] and any(
+                    base_ok[j] and d2(cand[i], cand[j]) < thresh
+                    for j in range(i)
+                ):
+                    hit_player[i] = True
+
+        self.rewards = np.array(
+            [np.float32(cfg.goal_reward) if hit_goal[i] else np.float32(0)
+             for i in range(p)], np.float32,
+        )
+        self.done = any(hit_goal)
+        tinc = np.float32(cfg.turn_increment_au)
+        nd = np.float32(cfg.num_directions)
+        for i in range(p):
+            if (moving[i] and not hit_goal[i] and not hit_wall[i]
+                    and not hit_player[i]):
+                self.ppos[i] = cand[i]
+            if moving[i]:
+                # moving actions pass the heading through mod (identity)
+                self.pdir[i] = np.float32(np.mod(self.pdir[i], nd))
+            else:
+                turn = np.float32(1.0 if actions[i] == 2 else -1.0)
+                self.pdir[i] = np.float32(np.mod(
+                    np.float32(self.pdir[i] + np.float32(turn * tinc)), nd
+                ))
+        self.t += 1
+        self.episode_return = (self.episode_return + self.rewards).astype(
+            np.float32
+        )
+
+
 class OracleDynamicRoom(OracleWorld):
     """Mirror of models/dynamic_room.py (K patrolling blocks)."""
 

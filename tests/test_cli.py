@@ -108,6 +108,18 @@ def test_train_ppo_multi_player_smoke():
     assert "loss" in r and "reward_p1" in r
 
 
+def test_multi_player_demo_smoke(tmp_path):
+    out = run_cli([
+        "examples/multi_player_demo.py", "--backend", "cpu",
+        "--num-envs", "2", "--steps", "4", "--num-rays", "16",
+        "--height-px", "16", "--out", str(tmp_path),
+    ])
+    r = last_json(out)
+    assert r["players"] == 2
+    assert (tmp_path / "player0_camera.png").exists()
+    assert (tmp_path / "top_view.png").exists()
+
+
 def test_rollout_demo_smoke():
     out = run_cli([
         "examples/rollout_demo.py", "--backend", "cpu",

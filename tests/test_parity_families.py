@@ -200,6 +200,45 @@ def test_multi_player_parity(seed, num_players):
             oracle.step([int(x) for x in a])
 
 
+def test_multi_player_continuous_parity():
+    """Continuous headings x multi-player (the last oracle-less combination):
+    bit-exact float headings, positions, rewards and all P camera frames vs
+    the scalar OracleMultiPlayerContinuous."""
+    from raycastworlds_tpu.oracle.families import OracleMultiPlayerContinuous
+
+    cfg = rcw.MultiPlayerConfig(
+        num_rays=48, height_camera_view_pu=32, num_players=2,
+        continuous_heading=True, turn_increment_au=0.7,
+    )
+    game = rcw.MultiPlayerRoom(cfg)
+    reset, step, observe = _jit_fns(game)
+    oracle = OracleMultiPlayerContinuous(cfg)
+
+    key = jax.random.PRNGKey(8)
+    state = reset(key)
+    oracle.reset(key)
+
+    rng = np.random.RandomState(8)
+    for t in range(120):
+        assert np.asarray(state.pos_wu).tolist() == oracle.ppos.tolist(), t
+        assert [np.float32(x) for x in np.asarray(state.dir_au)] == oracle.pdir, t
+        assert np.asarray(state.reward).tolist() == oracle.rewards.tolist(), t
+        assert bool(state.done) == oracle.done, t
+        if t % 15 == 0:
+            np.testing.assert_array_equal(
+                np.asarray(observe(state)), oracle.camera_views(),
+                err_msg=f"step {t}",
+            )
+        if bool(state.done):
+            k = state.rng_key
+            state = reset(k)
+            oracle.reset(k)
+        else:
+            a = rng.choice(4, size=2, p=[0.6, 0.05, 0.175, 0.175])
+            state = step(state, jnp.asarray(a, jnp.int32))
+            oracle.step([int(x) for x in a])
+
+
 def test_multi_player_parity_invisible_players():
     """players_visible=False: cameras show no blocks; dynamics unchanged."""
     cfg = rcw.MultiPlayerConfig(
