@@ -264,6 +264,42 @@ def test_crossing_kernel_fused_pal8_matches_xla_render():
         )
 
 
+def test_crossing_kernel_fuzz_random_maps():
+    """Kernel vs XLA crossing on RANDOM obstacle maps and random interior
+    origins/directions — exact agreement on hits, dims and distances."""
+    from raycastworlds_tpu.ops import raycast, raycast_crossing_kernel as rck
+    from raycastworlds_tpu.ops.bitmap import pack_bits_np
+
+    rng = np.random.RandomState(0)
+    for h, w in [(8, 16), (13, 9), (24, 40)]:
+        b, r = 8, 64
+        maps = []
+        for _ in range(b):
+            m = rng.rand(h, w) < 0.25
+            m[0, :] = m[-1, :] = True
+            m[:, 0] = m[:, -1] = True
+            maps.append(pack_bits_np(m))
+        words = jnp.asarray(np.stack(maps))
+        pos = jnp.asarray(
+            rng.uniform([1.1, 1.1], [h - 1.1, w - 1.1], size=(b, 2)),
+            jnp.float32,
+        )
+        ang = rng.uniform(0, 2 * np.pi, size=(b, r))
+        dirs = jnp.asarray(
+            np.stack([np.cos(ang), np.sin(ang)], axis=-1), jnp.float32
+        )
+        # XLA crossing per env
+        def one(wds, p, d):
+            return raycast.cast_rays_crossing(wds, (h, w), p, d)
+        xt, xd, xs = jax.jit(jax.vmap(one))(words, pos, dirs)
+        kt, kd, ks = rck.cast_rays_crossing_kernel(
+            words, (h, w), pos, dirs, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(xt), np.asarray(kt))
+        np.testing.assert_array_equal(np.asarray(xd), np.asarray(kd))
+        np.testing.assert_array_equal(np.asarray(xs), np.asarray(ks))
+
+
 def test_crossing_kernel_odd_batch_falls_back():
     """Batch sizes the kernel can't block fall back to the XLA crossing."""
     cfg = rcw.EnvConfig(
