@@ -282,10 +282,26 @@ class MultiPlayerRoom(Game):
             jnp.asarray(cfg.directions_wu, pos.dtype), dir_au
         ), None
 
-    def _cast_player(self, state: EnvState, pos, dir_au, others, others_mask):
+    def _shared_obstacles(self, state: EnvState):
+        """(obstacle_words, block_words) when they DON'T depend on the
+        viewing player — sprite mode and invisible mode (walls | goal only).
+        Hoisted out of the per-player vmap so the packed-map build runs
+        once per env instead of P times; block mode returns None (its
+        obstacle union includes the per-player others' tiles)."""
+        if self._sprite_mode or not self.cfg.players_visible:
+            _, base = self._packed_maps(state)
+            return base, None
+        return None
+
+    def _cast_player(
+        self, state: EnvState, pos, dir_au, others, others_mask, shared=None
+    ):
         """(pdir, hits, t_sprite-or-None, block_words) for ONE player."""
         cfg: MultiPlayerConfig = self.cfg
-        obstacle_words, block_words = self._obstacles_for(state, others)
+        if shared is not None:
+            obstacle_words, block_words = shared
+        else:
+            obstacle_words, block_words = self._obstacles_for(state, others)
         pdir, dirs = self._player_pose_dirs(pos, dir_au)
         hits = raycast.cast_rays(
             cfg, obstacle_words, pos, dir_au, ray_dirs=dirs
@@ -299,12 +315,12 @@ class MultiPlayerRoom(Game):
         return pdir, hits, t_s, block_words
 
     def _observe_player(
-        self, state: EnvState, pos, dir_au, others, others_mask
+        self, state: EnvState, pos, dir_au, others, others_mask, shared=None
     ) -> jax.Array:
         """One player's observation (vmapped over the player axis)."""
         cfg: MultiPlayerConfig = self.cfg
         pdir, hits, t_s, block_words = self._cast_player(
-            state, pos, dir_au, others, others_mask
+            state, pos, dir_au, others, others_mask, shared
         )
         if cfg.obs_type == "depth":
             h = hits if t_s is None else hits._replace(
@@ -372,9 +388,10 @@ class MultiPlayerRoom(Game):
                 one[None], (cfg.num_players,) + one.shape
             )
         others = self._others_tiles(state)
+        shared = self._shared_obstacles(state)
 
         def one(pos, d, oth, mask):
-            return self._observe_player(state, pos, d, oth, mask)
+            return self._observe_player(state, pos, d, oth, mask, shared)
 
         return jax.vmap(one)(
             state.pos_wu, state.dir_au, others, self._others_mask()
@@ -386,10 +403,11 @@ class MultiPlayerRoom(Game):
     def camera_view_single(self, state: EnvState) -> jax.Array:
         """uint32[P, H_pu, R] camera views (one per player)."""
         others = self._others_tiles(state)
+        shared = self._shared_obstacles(state)
 
         def one(pos, d, oth, mask):
             pdir, hits, t_s, block_words = self._cast_player(
-                state, pos, d, oth, mask
+                state, pos, d, oth, mask, shared
             )
             return self._camera_u32_player(
                 state, pdir, hits, t_s, block_words, pos
