@@ -67,3 +67,19 @@ def test_top_view_recording(tmp_path):
 def test_gif_rejects_bad_shapes(tmp_path):
     with pytest.raises(ValueError):
         video.save_gif(str(tmp_path / "x.gif"), np.zeros((4, 4)))
+
+
+def test_record_episode_multi_player():
+    """Multi-player envs record per-player camera frames [T+1, P, H, W];
+    a per-player slice exports to GIF."""
+    cfg = rcw.MultiPlayerConfig(
+        num_players=2, num_rays=16, height_camera_view_pu=16
+    )
+    env = rcw.Env(rcw.MultiPlayerRoom(cfg), num_envs=1)
+    frames = video.record_episode(env, jax.random.PRNGKey(0), steps=3)
+    assert frames.shape == (4, 2, 16, 16)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "p0.gif")
+        video.save_gif(p, frames[:, 0], fps=4)
+        assert os.path.getsize(p) > 50
