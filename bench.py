@@ -64,7 +64,7 @@ def _roofline(cfg, obs: str, sps: float) -> dict:
     backend = cfg.resolved_raycast_backend
     if backend == "analytic":
         dda_ops = r * 40.0 * 4  # border + K boxes closed forms
-    elif backend in ("crossing", "crossing_kernel"):
+    elif backend in ("crossing", "crossing_kernel", "crossing_kernel_fused"):
         dda_ops = r * (h + w) * 14.0 + 2.0 * h * w
     else:
         dda_ops = r * cfg.dda_steps * (30.0 + 2.0 * nw)
@@ -388,6 +388,19 @@ def run_suite() -> None:
         file=sys.stderr,
     )
     head = rows[0] if rows and "value" in rows[0] else {}
+    # `summary` is deliberately the LAST key: json.dumps preserves insertion
+    # order, so a tail-capture of this line (the driver records the final
+    # ~2000 chars) always keeps every row's headline number even when the
+    # full per-row detail above it is truncated.
+    summary = {}
+    for row in rows:
+        if "value" in row:
+            frac = (row.get("roofline") or {}).get("frac_of_roofline")
+            summary[row["name"]] = (
+                [row["value"], frac] if frac is not None else [row["value"]]
+            )
+        else:
+            summary[row["name"]] = row.get("error", "?")[:60]
     result = {
         "metric": "env_steps_per_sec",
         "value": head.get("value"),
@@ -398,6 +411,7 @@ def run_suite() -> None:
         "times_s": head.get("times_s"),
         "checksum": head.get("checksum"),
         "rows": rows,
+        "summary": summary,
     }
     print(json.dumps(result))
 

@@ -21,6 +21,18 @@ from typing import Any, Tuple
 
 import numpy as np
 
+def _default_backend_is_tpu() -> bool:
+    """True when jax's default platform is TPU (lazy import: config stays
+    importable without initializing a backend; the probe runs only when an
+    'auto' config is first resolved, i.e. at trace time)."""
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 # Object channels of the tile map (reference: /root/reference/src/single_room.jl:16-18).
 NUM_OBJECTS = 2
 WALL = 0
@@ -224,19 +236,42 @@ class EnvConfig:
             return self.max_dda_steps
         return self.height_tile_map_tu + self.width_tile_map_tu
 
+    # Auto-dispatch crossover (measured, docs/RESULTS.md round 5): the
+    # Pallas crossing kernel wins at >= 256 rays, where the XLA crossing's
+    # [N, R] candidate intermediates spill to HBM (+51% config-3, +27%
+    # reference-default); below that XLA fuses cast+render and wins.  Maps
+    # with more than this many grid-line candidates (H + W) stay on XLA
+    # crossing.
+    KERNEL_MIN_RAYS = 256
+    KERNEL_MAX_CANDIDATES = 96
+
     @property
     def resolved_raycast_backend(self) -> str:
         """'auto' resolved to a concrete general-map backend.
 
-        'crossing' is the default: the fastest general-map backend on TPU
-        (docs/RESULTS.md), parity-pinned against its own scalar-oracle and
-        C++-engine modes, and hit-tile/dim identical to the sequential scan
-        on fuzzed maps.  'scan' remains available as the
+        Shape-aware dispatch (docs/RESULTS.md rounds 4-5): on TPU, camera
+        resolutions of >= KERNEL_MIN_RAYS rays with at most
+        KERNEL_MAX_CANDIDATES grid-line candidates take the Pallas
+        ``crossing_kernel`` (bit-exact vs XLA crossing on every state fuzzed
+        on hardware; the parity GUARANTEE stays with "crossing").  Everything
+        else — small ray counts, candidate-heavy maps, CPU, float64,
+        continuous headings — takes XLA ``crossing``: the fastest XLA
+        general-map backend, parity-pinned against its own scalar-oracle and
+        C++-engine modes.  'scan' remains available as the
         reference-sequential-semantics path.
         """
-        if self.raycast_backend == "auto":
-            return "crossing"
-        return self.raycast_backend
+        if self.raycast_backend != "auto":
+            return self.raycast_backend
+        if (
+            self.num_rays >= self.KERNEL_MIN_RAYS
+            and self.height_tile_map_tu + self.width_tile_map_tu
+            <= self.KERNEL_MAX_CANDIDATES
+            and self.dtype == "float32"
+            and not self.continuous_heading
+            and _default_backend_is_tpu()
+        ):
+            return "crossing_kernel"
+        return "crossing"
 
     @property
     def obs_shape(self) -> Tuple[int, ...]:

@@ -69,6 +69,7 @@ class Env:
         jit: bool = True,
         donate: bool = False,
         reset_budget: int = 0,
+        final_obs_in_info: bool = False,
     ):
         """``reset_budget > 0`` enables *budgeted* auto-reset: at most that
         many envs are re-initialized per step (a gather/reset-K/scatter
@@ -86,6 +87,12 @@ class Env:
         self.num_envs = num_envs
         self.auto_reset = auto_reset
         self.reset_budget = min(reset_budget, num_envs)
+        # With auto_reset, the obs returned for a finished env already
+        # belongs to the next episode.  final_obs_in_info=True additionally
+        # renders the PRE-reset state into info["final_observation"] (the
+        # gymnasium terminal-observation convention, needed to bootstrap
+        # truncated episodes) at the cost of a second batch render per step.
+        self.final_obs_in_info = final_obs_in_info
         self._reset = jax.jit(self._reset_impl) if jit else self._reset_impl
         # donate=True reuses the state buffers across steps (use in step-wise
         # drivers; leave off if the previous state is read after stepping).
@@ -167,6 +174,11 @@ class Env:
             "terminated": terminated,
             "truncated": truncated,
         }
+        if self.auto_reset and self.final_obs_in_info:
+            # obs of the post-step, pre-reset state: for envs where
+            # terminated|truncated this is the terminal observation the
+            # auto-reset otherwise discards; elsewhere it equals `obs`.
+            info["final_observation"] = self.game.observe_batch(stepped)
         if not self.auto_reset:
             nxt = stepped.replace(done=ep_end)
         elif self.reset_budget > 0:

@@ -94,7 +94,20 @@ class GymVectorAdapter:
 
     metadata = {"render_modes": ["rgb_array"]}
 
-    def __init__(self, game: Game, num_envs: int, reset_budget: int = 0):
+    def __init__(
+        self,
+        game: Game,
+        num_envs: int,
+        reset_budget: int = 0,
+        final_observation: bool = False,
+    ):
+        """``final_observation=True`` adds the gymnasium terminal-observation
+        convention: ``info["final_observation"]`` holds the PRE-reset obs of
+        every env (meaningful where terminated|truncated is set — consumers
+        bootstrapping truncated episodes need it), at the cost of a second
+        batch render per step.  Off by default: the returned obs for a
+        finished env is the next episode's first frame (same-step autoreset).
+        """
         if getattr(game, "action_shape", ()) != ():
             raise ValueError(
                 "GymVectorAdapter is single-agent (scalar action per env); "
@@ -104,6 +117,7 @@ class GymVectorAdapter:
         self._env = Env(
             game, num_envs=num_envs, auto_reset=True,
             reset_budget=reset_budget,
+            final_obs_in_info=final_observation,
         )
         self._state = None
         self._key = jax.random.PRNGKey(0)

@@ -229,8 +229,13 @@ class Game:
         if self._use_analytic():
             return jax.vmap(self.cast_single)(state)
         if (
-            cfg.raycast_backend in ("crossing_kernel", "crossing_kernel_fused")
+            cfg.resolved_raycast_backend
+            in ("crossing_kernel", "crossing_kernel_fused")
             and not cfg.continuous_heading
+            # the kernel bakes f32 out_shapes/constants; f64 configs fall
+            # back to XLA crossing instead of hitting an opaque Mosaic
+            # dtype error (mirrors _use_fused's guard)
+            and cfg.dtype == "float32"
         ):
             b = state.pos_wu.shape[0]
             r = cfg.num_rays
@@ -300,6 +305,7 @@ class Game:
             cfg.raycast_backend == "crossing_kernel_fused"
             and cfg.obs_type == "camera_pal8"
             and cfg.wall_texture == "none"
+            and cfg.dtype == "float32"
             and not cfg.continuous_heading
             and state.goal_words is None
             and self._block_words_batch(state) is None

@@ -262,11 +262,17 @@ def u32_to_gray_u8(img: jax.Array) -> jax.Array:
     axis stays minor, unlike the channels-minor u8 forms measured 2x worse
     (docs/RESULTS.md round 3).  The u32 intermediate fuses into this
     conversion under jit (verified for the rgb unpack by compiled memory
-    analysis), so only the 1-byte image touches HBM."""
+    analysis), so only the 1-byte image touches HBM.
+
+    Rounds to nearest (+0.5 then truncate) rather than truncating: pure
+    truncation maps white to 254 whenever FMA/fusion lands the f32 weight
+    sum one ulp below 255, which made bit-parity against unfused host
+    arithmetic backend-dependent; round-to-nearest is a half-ulp away from
+    any boundary for these weights."""
     r = ((img >> 16) & 0xFF).astype(jnp.float32)
     g = ((img >> 8) & 0xFF).astype(jnp.float32)
     b = (img & 0xFF).astype(jnp.float32)
-    return (0.299 * r + 0.587 * g + 0.114 * b).astype(jnp.uint8)
+    return (0.299 * r + 0.587 * g + 0.114 * b + 0.5).astype(jnp.uint8)
 
 
 def column_colors_pal8(

@@ -176,7 +176,9 @@ class OracleSingleRoom:
         crossing-formulation mirror when the config selects that backend.
         Returns (i_hit, j_hit, hit_dim in {0,1}, euclidean distance along
         the ray to the hit face)."""
-        if self.cfg.resolved_raycast_backend == "crossing":
+        if self.cfg.resolved_raycast_backend in (
+            "crossing", "crossing_kernel", "crossing_kernel_fused"
+        ):
             return self.cast_one_crossing(obstacle_map, px, py, dx, dy)
         return self.cast_one_scan(obstacle_map, px, py, dx, dy)
 

@@ -329,17 +329,20 @@ class PPOTrainer:
         )
 
     # -- the jitted train step ------------------------------------------
+    # Split into two pure phases so each can be jitted/timed in isolation
+    # (bench_ppo --phases, docs/RESULTS.md round-5 learner profile) while
+    # the production train step still compiles them as ONE program.
 
-    def _train_step_impl(self, ts: TrainState):
+    def _rollout_phase(self, ts: TrainState, k_roll: jax.Array):
+        """Rollout + last-value bootstrap + GAE.  Returns
+        (env_state, traj [player axis folded], adv, target, aux metrics)."""
         env, cfg, net = self.env, self.cfg, self.net
-        key, k_roll, k_perm = jax.random.split(ts.key, 3)
-
         policy = make_policy_fn(net, env.cfg, ts.params, self.num_players)
         env_state, traj = rollout_policy(
             env, policy, ts.env_state, k_roll, cfg.rollout_steps
         )
 
-        reward_per_player = None
+        aux: Dict[str, jax.Array] = {}
         if self.num_players:
             # Fold the player axis into the env axis ([T, B, P, ...] ->
             # [T, B*P, ...]; B-major, so dp shard boundaries are preserved)
@@ -347,7 +350,12 @@ class PPOTrainer:
             # here on the update is exactly the single-agent path over B*P
             # "environments" sharing one set of weights.
             p = self.num_players
-            reward_per_player = jnp.mean(traj.reward, axis=(0, 1))  # [P]
+            for k in range(p):
+                aux[f"reward_p{k}"] = jnp.mean(traj.reward[:, :, k])
+            # episode count from the PRE-fold done so it keeps the
+            # single-agent meaning (the per-player broadcast below would
+            # count each finished episode num_players times)
+            aux["episodes_finished"] = jnp.sum(traj.done.astype(jnp.int32))
 
             def fold(x):
                 return x.reshape(x.shape[:1] + (-1,) + x.shape[3:])
@@ -362,6 +370,8 @@ class PPOTrainer:
                     traj.done[:, :, None], traj.done.shape + (p,)
                 )),
             )
+        else:
+            aux["episodes_finished"] = jnp.sum(traj.done.astype(jnp.int32))
 
         last_obs = env.game.observe_batch(env_state)
         last_x = preprocess_obs(env.cfg, last_obs)
@@ -370,9 +380,17 @@ class PPOTrainer:
         _, last_value = net.apply(ts.params, last_x)
         adv, target = compute_gae(
             traj.reward, traj.value, traj.done, last_value,
-            cfg.gamma, cfg.gae_lambda,
+            self.cfg.gamma, self.cfg.gae_lambda,
         )
+        aux["reward_per_step"] = jnp.mean(traj.reward)
+        return env_state, traj, adv, target, aux
 
+    def _update_phase(
+        self, params, opt_state, k_perm, traj, adv, target
+    ):
+        """Epochs x minibatches of clipped-PPO updates over one rollout.
+        Returns (params, opt_state, metrics)."""
+        env, cfg, net = self.env, self.cfg, self.net
         # --- dp-LOCAL minibatch shuffle -------------------------------
         # A global [T*B] permutation would compile to cross-device gathers
         # every minibatch under dp sharding (all the rollout data shuffling
@@ -436,17 +454,19 @@ class PPOTrainer:
             return (params, opt_state, key), metrics
 
         (params, opt_state, _), metrics = jax.lax.scan(
-            epoch, (ts.params, ts.opt_state, k_perm), None,
+            epoch, (params, opt_state, k_perm), None,
             length=cfg.num_epochs,
         )
-
         metrics = jax.tree_util.tree_map(jnp.mean, metrics)
-        metrics["reward_per_step"] = jnp.mean(traj.reward)
-        metrics["episodes_finished"] = jnp.sum(traj.done.astype(jnp.int32))
-        if reward_per_player is not None:
-            for k in range(self.num_players):
-                metrics[f"reward_p{k}"] = reward_per_player[k]
+        return params, opt_state, metrics
 
+    def _train_step_impl(self, ts: TrainState):
+        key, k_roll, k_perm = jax.random.split(ts.key, 3)
+        env_state, traj, adv, target, aux = self._rollout_phase(ts, k_roll)
+        params, opt_state, metrics = self._update_phase(
+            ts.params, ts.opt_state, k_perm, traj, adv, target
+        )
+        metrics.update(aux)
         return TrainState(
             params=params,
             opt_state=opt_state,

@@ -310,3 +310,50 @@ def test_crossing_kernel_odd_batch_falls_back():
     state, obs = env.reset(jax.random.PRNGKey(0))
     res = env.step(state, jnp.zeros(3, jnp.int32))
     assert res.obs.shape == (3, 16, 16)
+
+
+def test_auto_backend_shape_dispatch(monkeypatch):
+    """'auto' resolves to the Pallas crossing kernel exactly on the shapes
+    where it measured faster on hardware (>=256 rays, <=96 candidates, f32,
+    discrete headings, TPU); everything else stays on XLA crossing."""
+    import raycastworlds_tpu.config as config_mod
+
+    # On the CPU test backend, auto is always XLA crossing.
+    assert rcw.EnvConfig(num_rays=512).resolved_raycast_backend == "crossing"
+
+    monkeypatch.setattr(config_mod, "_default_backend_is_tpu", lambda: True)
+    assert (
+        rcw.EnvConfig(num_rays=512).resolved_raycast_backend
+        == "crossing_kernel"
+    )
+    assert (
+        rcw.EnvConfig(num_rays=256).resolved_raycast_backend
+        == "crossing_kernel"
+    )
+    # small fan: XLA fuses cast+render and wins
+    assert rcw.EnvConfig(num_rays=64).resolved_raycast_backend == "crossing"
+    # candidate-heavy map: stays on XLA crossing
+    assert (
+        rcw.EnvConfig(
+            num_rays=512, height_tile_map_tu=64, width_tile_map_tu=64
+        ).resolved_raycast_backend
+        == "crossing"
+    )
+    # f64 and continuous headings: kernel bakes f32 / LUT fans
+    assert (
+        rcw.EnvConfig(num_rays=512, dtype="float64").resolved_raycast_backend
+        == "crossing"
+    )
+    assert (
+        rcw.EnvConfig(
+            num_rays=512, continuous_heading=True
+        ).resolved_raycast_backend
+        == "crossing"
+    )
+    # explicit choices are never overridden
+    assert (
+        rcw.EnvConfig(
+            num_rays=512, raycast_backend="scan"
+        ).resolved_raycast_backend
+        == "scan"
+    )

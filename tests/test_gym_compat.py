@@ -56,3 +56,38 @@ def test_vector_adapter_rejects_multi_player():
     )
     with pytest.raises(ValueError, match="single-agent"):
         rcw.GymVectorAdapter(rcw.MultiPlayerRoom(cfg), num_envs=2)
+
+
+def test_vector_adapter_final_observation():
+    """final_observation=True exposes the pre-reset terminal obs (gymnasium
+    convention for bootstrapping truncated episodes)."""
+    import dataclasses
+
+    cfg = rcw.EnvConfig(
+        num_rays=16, height_camera_view_pu=16, max_episode_steps=3
+    )
+    venv = rcw.GymVectorAdapter(
+        rcw.SingleRoom(cfg), num_envs=4, final_observation=True
+    )
+    obs, info = venv.reset(seed=0)
+    saw_divergence = False
+    for _ in range(6):
+        obs, rew, term, trunc, info = venv.step(np.zeros(4, np.int64))
+        assert "final_observation" in info
+        fin = info["final_observation"]
+        assert fin.shape == obs.shape and fin.dtype == obs.dtype
+        ended = term | trunc
+        # where no episode ended, the terminal obs IS the returned obs
+        np.testing.assert_array_equal(fin[~ended], obs[~ended])
+        if ended.any() and not (fin[ended] == obs[ended]).all():
+            saw_divergence = True
+    # max_episode_steps=3 guarantees truncations happened, and a fresh spawn
+    # essentially never reproduces the frame 3 steps into the old episode
+    assert saw_divergence
+    # default stays lean: no second render, no info key
+    venv2 = rcw.GymVectorAdapter(rcw.SingleRoom(cfg), num_envs=4)
+    venv2.reset(seed=0)
+    _, _, _, _, info2 = venv2.step(np.zeros(4, np.int64))
+    assert "final_observation" not in info2
+    venv.close()
+    venv2.close()

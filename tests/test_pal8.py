@@ -111,6 +111,7 @@ def test_gray_u8_matches_float_luma():
     b = (img & 0xFF).astype(np.float32)
     want = (
         np.float32(0.299) * r + np.float32(0.587) * g + np.float32(0.114) * b
+        + np.float32(0.5)
     ).astype(np.uint8)
     np.testing.assert_array_equal(got, want)
 
