@@ -83,9 +83,85 @@ PALETTE_RGB_F32 = (
 )
 
 
-def pal8_to_u32_np(img_pal8: np.ndarray) -> np.ndarray:
-    """Decode a palette-index image to 0x00RRGGBB uint32 (host side)."""
-    return PALETTE_NP[np.asarray(img_pal8, dtype=np.int64)]
+# ---------------------------------------------------------------------------
+# Extended palette for textured pal8 observations.
+#
+# The procedural wall textures multiply a slab color by a brightness factor
+# drawn from a FINITE set (checker: {1.0, 0.55}; brick: {1.0, 0.45}; xor:
+# {0.4 + 0.6*k/(t-1), k in [0, t)}), so "continuous shading" is actually a
+# small discrete vocabulary: 12 base colors + 6 textured slab colors x F
+# factors.  With F <= MAX_TEX_FACTORS (40) the whole textured scene still
+# fits a uint8 index — LOSSLESSLY, because each extended entry stores the
+# exact uint32 the float multiply-and-truncate chain produces.
+# Entry layout: [0, 12) = PALETTE; 12 + slab_slot*F + factor_idx for the
+# textured wall band (slab_slot order = TEX_SLABS).
+# ---------------------------------------------------------------------------
+
+PAL_TEX_BASE = 12
+TEX_SLABS = (
+    WALL_DIM_I, WALL_DIM_J, GOAL_DIM_I, GOAL_DIM_J, BLOCK_DIM_I, BLOCK_DIM_J
+)
+MAX_TEX_FACTORS = (256 - PAL_TEX_BASE) // len(TEX_SLABS)  # 40
+
+
+def texture_factors(wall_texture: str, texture_cells: int) -> np.ndarray:
+    """float32[F] brightness factors of a texture config, in factor-index
+    order (the index the pal8 renderer computes per pixel).  Mirrors the
+    jnp arithmetic of ops/render._texture_wall exactly (same f32 constants,
+    mul-then-add order for xor)."""
+    if wall_texture == "checker":
+        return np.array([1.0, 0.55], np.float32)
+    if wall_texture == "brick":
+        return np.array([1.0, 0.45], np.float32)
+    if wall_texture == "xor":
+        t = texture_cells
+        k = np.arange(t, dtype=np.float32)
+        g = k / np.float32(max(t - 1, 1))
+        return (np.float32(0.4) + np.float32(0.6) * g).astype(np.float32)
+    raise ValueError(f"no texture factors for wall_texture={wall_texture!r}")
+
+
+def build_texture_palette(wall_texture: str, texture_cells: int) -> np.ndarray:
+    """uint32[12 + 6*F] extended palette for a textured config: base PALETTE
+    followed by each TEX_SLABS color under each factor, packed with the same
+    per-channel f32-multiply-then-truncate the u32 renderer uses."""
+    fac = texture_factors(wall_texture, texture_cells)
+    if len(fac) > MAX_TEX_FACTORS:
+        raise ValueError(
+            f"{wall_texture} with texture_cells={texture_cells} needs "
+            f"{len(fac)} factors; pal8 fits at most {MAX_TEX_FACTORS}"
+        )
+    entries = list(PALETTE)
+    for slab in TEX_SLABS:
+        r = np.float32((slab >> 16) & 0xFF)
+        g = np.float32((slab >> 8) & 0xFF)
+        b = np.float32(slab & 0xFF)
+        for f in fac:
+            entries.append(
+                (int(np.uint32(r * f)) << 16)
+                | (int(np.uint32(g * f)) << 8)
+                | int(np.uint32(b * f))
+            )
+    return np.array(entries, dtype=np.uint32)
+
+
+def palette_rgb_f32(palette_np: np.ndarray) -> np.ndarray:
+    """[N, 3] float32 RGB in [0, 1] decode table for any palette (the
+    learner-side one-hot contraction target; see PALETTE_RGB_F32)."""
+    p = np.asarray(palette_np, dtype=np.uint32)
+    return (
+        np.stack([(p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF], axis=-1)
+        .astype(np.float32)
+        / 255.0
+    )
+
+
+def pal8_to_u32_np(img_pal8: np.ndarray, palette: np.ndarray = None) -> np.ndarray:
+    """Decode a palette-index image to 0x00RRGGBB uint32 (host side).
+    ``palette`` defaults to the 12-entry base PALETTE; textured configs pass
+    ``cfg.palette_np``."""
+    pal = PALETTE_NP if palette is None else np.asarray(palette, np.uint32)
+    return pal[np.asarray(img_pal8, dtype=np.int64)]
 
 
 def u32_to_rgb(img_u32: np.ndarray) -> np.ndarray:

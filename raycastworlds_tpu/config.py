@@ -87,11 +87,14 @@ class EnvConfig:
     #                  and unpack consumer-side; docs/RESULTS.md round 3)
     #   "camera_gray": [H_pu, num_rays] float32 in [0, 1]
     #   "camera_pal8": [H_pu, num_rays] uint8 palette index into
-    #                  colors.PALETTE — LOSSLESS (the scene is 12 colors) at
-    #                  1/4 the bytes of camera_u32; the max-throughput camera
-    #                  form (every headline row is HBM-obs-bound).  Decode
-    #                  with ops.render.pal8_to_u32 / colors.pal8_to_u32_np;
-    #                  incompatible with wall textures (continuous shading)
+    #                  EnvConfig.palette_np — LOSSLESS (the scene is 12
+    #                  colors; textured scenes extend the palette with the
+    #                  6 slab colors x their finite brightness-factor sets)
+    #                  at 1/4 the bytes of camera_u32; the max-throughput
+    #                  camera form.  Decode with
+    #                  ops.render.pal8_to_u32(img, cfg.palette_np) /
+    #                  colors.pal8_to_u32_np; xor textures need
+    #                  texture_cells <= colors.MAX_TEX_FACTORS (40)
     #   "camera_gray_u8": [H_pu, num_rays] uint8 luma in [0, 255] (1-byte
     #                  grayscale; planar, ray axis minor)
     #   "depth"      : [num_rays] float32 projected (fisheye-corrected) depth
@@ -188,13 +191,18 @@ class EnvConfig:
             "camera_gray_u8", "depth", "tile_grid", "top_u32", "top_rgb",
         ):
             raise ValueError(f"unknown obs_type: {self.obs_type}")
-        if self.obs_type == "camera_pal8" and self.wall_texture != "none":
-            raise ValueError(
-                "obs_type 'camera_pal8' requires wall_texture 'none': "
-                "procedural textures modulate brightness continuously, which "
-                "a 12-entry palette index cannot represent losslessly "
-                "(use camera_u32/camera_gray_u8 for textured walls)"
-            )
+        if self.obs_type == "camera_pal8" and self.wall_texture == "xor":
+            from .colors import MAX_TEX_FACTORS
+
+            if self.texture_cells > MAX_TEX_FACTORS:
+                raise ValueError(
+                    "obs_type 'camera_pal8' with wall_texture 'xor' needs "
+                    f"texture_cells <= {MAX_TEX_FACTORS}: the xor gradient "
+                    f"has texture_cells distinct brightness factors and the "
+                    "extended uint8 palette holds at most "
+                    f"{MAX_TEX_FACTORS} per slab color (checker/brick have "
+                    "2 factors and always fit)"
+                )
         if self.raycast_backend not in (
             "scan", "scan_flat", "crossing", "crossing_kernel",
             "crossing_kernel_fused", "analytic", "pallas", "fused", "auto",
@@ -361,6 +369,29 @@ class EnvConfig:
         (ref :431, column ``k = R-1-i``) baked into the fan order so the
         fused render kernel writes image columns in natural order."""
         return np.ascontiguousarray(self.ray_fan_lut[:, ::-1, :])
+
+    @functools.cached_property
+    def palette_np(self) -> np.ndarray:
+        """uint32[N] active render palette for pal8 observations: the frozen
+        12-entry base palette, extended with the 6 slab colors x F texture
+        brightness factors when a wall texture is on (colors.py
+        ``build_texture_palette``; lossless — each entry stores the exact
+        u32 the float texture chain produces)."""
+        from . import colors as _colors
+
+        if self.wall_texture == "none":
+            return _colors.PALETTE_NP
+        return _colors.build_texture_palette(
+            self.wall_texture, self.texture_cells
+        )
+
+    @functools.cached_property
+    def palette_rgb_f32(self) -> np.ndarray:
+        """[N, 3] float32 RGB decode table of ``palette_np`` (learner-side
+        one-hot contraction target for pal8 features)."""
+        from . import colors as _colors
+
+        return _colors.palette_rgb_f32(self.palette_np)
 
     @functools.cached_property
     def border_wall_map(self) -> np.ndarray:

@@ -341,7 +341,8 @@ class MultiPlayerRoom(Game):
             )
         if cfg.obs_type == "camera_pal8":
             img = render.render_camera_pal8(
-                cfg, state.wall_words, pdir, hits, block_words=block_words
+                cfg, state.wall_words, pdir, hits, block_words=block_words,
+                pos_wu=pos,
             )
             if t_s is not None:
                 img = render.sprite_overlay(

@@ -145,16 +145,16 @@ def render_camera_u32(
     return img
 
 
-def _texture_wall(cfg, wall_px, hits: RayHits, pos_wu, height_line, row):
-    """Procedural per-pixel wall texturing, fully arithmetic (no texture
-    memory, no gathers — the TPU-native answer to texture mapping).
+def _texture_uv(cfg, hits: RayHits, pos_wu, height_line, row):
+    """(ui i32[R] mirrored, vi i32[H_pu, R]) integer texel coordinates of
+    the procedural wall textures — shared by the u32 and pal8 renderers so
+    their texel selection is structurally identical.
 
     Texture coordinates follow the classic raycaster scheme: ``u`` is the
     fractional hit coordinate along the wall face — the non-hit-axis
     component of ``pos + dist*dir`` minus the hit tile's low edge; ``v`` runs
     down the *unclipped* projected column so close-up walls magnify
-    correctly.  The pattern modulates the flat two-shade slab color, so texel
-    brightness composes with the reference's fake-lighting face shading.
+    correctly.
     """
     t = cfg.texture_cells
     hpu = cfg.height_camera_view_pu
@@ -200,19 +200,44 @@ def _texture_wall(cfg, wall_px, hits: RayHits, pos_wu, height_line, row):
     vi = jnp.clip(
         jnp.floor_divide(numer, 2 * h_full[None, :]), 0, t - 1
     )  # i32[H_pu, R]
+    return ui, vi
 
+
+def _texture_factor_index(cfg, ui, vi):
+    """i32[H_pu, R] index into ``colors.texture_factors`` per pixel —
+    THE texel selection rule, shared by the u32 (factor arithmetic) and
+    pal8 (palette index) paths.  checker/brick: 0 = bright, 1 = dim;
+    xor: the gradient level ui ^ vi in [0, texture_cells)."""
+    t = cfg.texture_cells
     if cfg.wall_texture == "checker":
-        bright = ((ui[None, :] + vi) & 1) == 0
-        factor = jnp.where(bright, 1.0, 0.55).astype(jnp.float32)
-    elif cfg.wall_texture == "brick":
+        return (ui[None, :] + vi) & 1
+    if cfg.wall_texture == "brick":
         course_h = max(t // 4, 1)          # brick course height in texels
         brick_w = max(t // 2, 2)           # brick length in texels
         course = vi // course_h
         off = jnp.where((course & 1) == 1, brick_w // 2, 0)
         mortar = (vi % course_h == 0) | (((ui[None, :] + off) % brick_w) == 0)
-        factor = jnp.where(mortar, 0.45, 1.0).astype(jnp.float32)
+        return mortar.astype(jnp.int32)
+    # "xor"
+    return ui[None, :] ^ vi
+
+
+def _texture_wall(cfg, wall_px, hits: RayHits, pos_wu, height_line, row):
+    """Procedural per-pixel wall texturing, fully arithmetic (no texture
+    memory, no gathers — the TPU-native answer to texture mapping).  The
+    pattern modulates the flat two-shade slab color, so texel brightness
+    composes with the reference's fake-lighting face shading.  See
+    :func:`_texture_uv` / :func:`_texture_factor_index` for the texel
+    selection shared with the pal8 path."""
+    ui, vi = _texture_uv(cfg, hits, pos_wu, height_line, row)
+    fidx = _texture_factor_index(cfg, ui, vi)
+
+    if cfg.wall_texture == "checker":
+        factor = jnp.where(fidx == 0, 1.0, 0.55).astype(jnp.float32)
+    elif cfg.wall_texture == "brick":
+        factor = jnp.where(fidx == 1, 0.45, 1.0).astype(jnp.float32)
     else:  # "xor"
-        g = (ui[None, :] ^ vi).astype(jnp.float32) / float(max(t - 1, 1))
+        g = fidx.astype(jnp.float32) / float(max(cfg.texture_cells - 1, 1))
         factor = 0.4 + 0.6 * g
 
     r = ((wall_px >> 16) & 0xFF).astype(jnp.float32) * factor
@@ -311,39 +336,75 @@ def column_colors_pal8(
     return out
 
 
+def _slab_slots(wall_words, shape, hits: RayHits, block_words=None):
+    """Per-ray textured-slab slot i32[R] in ``colors.TEX_SLABS`` order
+    (wall_i, wall_j, goal_i, goal_j, block_i, block_j) — same predicates as
+    :func:`column_colors_u32`, producing an index instead of a color."""
+    from . import bitmap
+
+    hi = hits.hit_tu[:, 0]
+    hj = hits.hit_tu[:, 1]
+    h, w = shape
+    idx = jnp.clip(hi, 0, h - 1) * w + jnp.clip(hj, 0, w - 1)
+    is_wall = bitmap.lookup_bit(wall_words, idx)
+    dim_j = (hits.hit_dim == 1).astype(jnp.int32)  # +1 selects the _J shade
+    slot = jnp.where(is_wall, dim_j, 2 + dim_j)
+    if block_words is not None:
+        is_block = bitmap.lookup_bit(block_words, idx)
+        slot = jnp.where(is_block & ~is_wall, 4 + dim_j, slot)
+    return slot
+
+
 def render_camera_pal8(
     cfg: EnvConfig,
     wall_words: jax.Array,
     player_dir_wu: jax.Array,
     hits: RayHits,
     block_words=None,
+    pos_wu=None,
 ) -> jax.Array:
     """uint8[H_pu, num_rays] palette-index camera view for one env.
 
-    LOSSLESS: the scene vocabulary is the 12-color ``colors.PALETTE``, so
-    ``pal8_to_u32(render_camera_pal8(...)) == render_camera_u32(...)``
-    bit-exactly (same :func:`_column_pads` geometry, same select predicates
-    — only the selected constants differ).  At 1/4 the observation bytes of
-    ``camera_u32`` this is the max-throughput camera form on TPU: every
-    headline row is HBM-observation-bound (docs/RESULTS.md).  Procedural
-    wall textures modulate brightness continuously and are not expressible
-    in 12 indices; EnvConfig rejects pal8 + textures.
+    LOSSLESS: the scene vocabulary is ``cfg.palette_np`` — the 12-color
+    base ``colors.PALETTE``, extended (wall textures on) with the 6 slab
+    colors x F brightness factors, each entry the exact u32 the float
+    texture chain produces — so
+    ``pal8_to_u32(render_camera_pal8(...), cfg.palette_np)
+    == render_camera_u32(...)`` bit-exactly (same :func:`_column_pads`
+    geometry, same select predicates, same :func:`_texture_factor_index`
+    texel rule; only constants-vs-indices differ).  At 1/4 the observation
+    bytes of ``camera_u32`` this is the max-throughput camera form on TPU
+    (docs/RESULTS.md).
     """
     hpu = cfg.height_camera_view_pu
-    pad, _ = _column_pads(cfg, player_dir_wu, hits)
-    slab = column_colors_pal8(
-        wall_words, (cfg.H, cfg.W), hits, block_words
-    )  # u8[R]
-    pad = jnp.flip(pad, axis=0)  # mirror (:431), flipped before broadcast
-    slab = jnp.flip(slab, axis=0)
+    pad, height_line = _column_pads(cfg, player_dir_wu, hits)
     row = jnp.arange(hpu, dtype=jnp.int32)[:, None]  # [H_pu, 1]
+    if cfg.wall_texture != "none":
+        if pos_wu is None:
+            raise ValueError("wall_texture requires pos_wu (the ray origin)")
+        nf = len(colors.texture_factors(cfg.wall_texture, cfg.texture_cells))
+        slot = jnp.flip(
+            _slab_slots(wall_words, (cfg.H, cfg.W), hits, block_words),
+            axis=0,
+        )  # mirrored like the u32 slab colors
+        ui, vi = _texture_uv(cfg, hits, pos_wu, height_line, row)
+        fidx = _texture_factor_index(cfg, ui, vi)  # i32[H_pu, R]
+        wall_band = (
+            colors.PAL_TEX_BASE + slot[None, :] * nf + fidx
+        ).astype(jnp.uint8)
+    else:
+        slab = column_colors_pal8(
+            wall_words, (cfg.H, cfg.W), hits, block_words
+        )  # u8[R]
+        wall_band = jnp.flip(slab, axis=0)[None, :]
+    pad = jnp.flip(pad, axis=0)  # mirror (:431), flipped before broadcast
     return jnp.where(
         row < pad[None, :],
         jnp.uint8(colors.PAL_CEILING),
         jnp.where(
             row >= (hpu - pad)[None, :],
             jnp.uint8(colors.PAL_FLOOR),
-            slab[None, :],
+            wall_band,
         ),
     )
 
@@ -430,12 +491,16 @@ def ray_circle_t(
     return jnp.min(jnp.where(valid, t, inf), axis=1)  # [R]
 
 
-def pal8_to_u32(img: jax.Array) -> jax.Array:
+def pal8_to_u32(img: jax.Array, palette=None) -> jax.Array:
     """Decode palette indices to 0x00RRGGBB uint32 on device (the consumer-
-    side inverse of ``camera_pal8``; fuses into the consumer's first op)."""
+    side inverse of ``camera_pal8``; fuses into the consumer's first op).
+    ``palette`` defaults to the 12-entry base table; textured configs pass
+    ``cfg.palette_np``."""
     import numpy as np
 
-    pal = jnp.asarray(np.asarray(colors.PALETTE_NP))
+    pal = jnp.asarray(
+        np.asarray(colors.PALETTE_NP if palette is None else palette)
+    )
     return pal[img.astype(jnp.int32)]
 
 
@@ -469,7 +534,8 @@ def render_observation(
     if cfg.obs_type == "camera_pal8":
         # Native 1-byte path: no u32 intermediate at all.
         return render_camera_pal8(
-            cfg, wall_words, player_dir_wu, hits, block_words
+            cfg, wall_words, player_dir_wu, hits, block_words,
+            pos_wu=pos_wu,
         )
     img = render_camera_u32(
         cfg, wall_words, player_dir_wu, hits, block_words, pos_wu

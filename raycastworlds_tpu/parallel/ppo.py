@@ -45,14 +45,14 @@ def preprocess_obs(cfg: EnvConfig, obs: jax.Array) -> jax.Array:
     if cfg.obs_type == "camera_gray":
         return obs[..., None].astype(jnp.float32)
     if cfg.obs_type == "camera_pal8":
-        # One-hot contraction against the 12-entry RGB table instead of a
+        # One-hot contraction against the palette RGB table instead of a
         # gather: identical features to the camera_u32 path (exact palette
         # decode / 255), but pure elementwise+reduce so it fuses into the
         # first conv under dp sharding (same rationale as the log-prob
-        # one-hot in make_policy_fn).
-        from .. import colors as _colors
-
-        pal = jnp.asarray(_colors.PALETTE_RGB_F32)  # [12, 3]
+        # one-hot in make_policy_fn).  cfg.palette_rgb_f32 is the 12-entry
+        # base table, or the extended slab x factor table for textured
+        # configs.
+        pal = jnp.asarray(cfg.palette_rgb_f32)  # [N, 3]
         oh = jax.nn.one_hot(
             obs.astype(jnp.int32), pal.shape[0], dtype=jnp.float32
         )
@@ -94,6 +94,14 @@ class ActorCritic(nn.Module):
       utilization) + the dense trunk.  Measured ~2x train-step throughput
       at the bench_ppo config with an equivalent learning curve
       (docs/RESULTS.md round 3).
+    * ``"mlp"`` — no spatial layer at all: flatten the pixels and go
+      straight into the dense trunk.  The round-5 trace showed the patch
+      path's [B, 8*8*64] activation (relu fwd+bwd, conv-kernel backward
+      reduce) costing ~3x the matmuls themselves; the flat trunk has the
+      same dominant matmul shape (pixels -> hidden) but its intermediate
+      is just [B, hidden] — the max-throughput trunk (docs/RESULTS.md
+      round 5), with a Maze/SingleRoom learning curve matching patch at
+      these resolutions.
     """
 
     num_actions: int = 4
@@ -111,6 +119,8 @@ class ActorCritic(nn.Module):
                     dtype=self.dtype, name="patch",
                 )(x)
                 x = nn.relu(x)
+            elif self.trunk == "mlp":
+                pass  # flatten below; the trunk Dense IS the pixel layer
             else:
                 x = nn.Conv(16, (4, 4), strides=(2, 2), dtype=self.dtype)(x)
                 x = nn.relu(x)
@@ -119,6 +129,12 @@ class ActorCritic(nn.Module):
             x = x.reshape(x.shape[0], -1)
         x = nn.Dense(self.hidden, dtype=self.dtype, name="trunk")(x)
         x = nn.relu(x)
+        if self.trunk == "mlp":
+            # second hidden layer restores the depth the conv/patch stage
+            # provided; costs hidden^2 FLOPs (negligible next to the pixel
+            # layer) and keeps the capacity comparison fair.
+            x = nn.Dense(self.hidden, dtype=self.dtype, name="trunk2")(x)
+            x = nn.relu(x)
         logits = nn.Dense(self.num_actions, dtype=self.dtype, name="policy")(x)
         value = nn.Dense(1, dtype=self.dtype, name="value")(x)
         return logits.astype(jnp.float32), value.astype(jnp.float32)[..., 0]
@@ -428,7 +444,12 @@ class PPOTrainer:
         def epoch(carry, _):
             params, opt_state, key = carry
             key, kp = jax.random.split(key)
-            perm = jax.random.permutation(kp, n)
+            # _identity_shuffle is a profiling hook (examples/profile_ppo.py)
+            # that isolates the shuffle-gather cost; never set in training.
+            if getattr(self, "_identity_shuffle", False):
+                perm = jnp.arange(n)
+            else:
+                perm = jax.random.permutation(kp, n)
             shuf = {k: v[:, perm] for k, v in flat.items()}
 
             def minibatch(carry, i):

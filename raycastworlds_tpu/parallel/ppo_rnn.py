@@ -16,23 +16,30 @@ recipe:
   detached (truncated BPTT at the rollout boundary).
 
 No reference equivalent — the reference stops at the RL env adapter
-(/root/reference/src/single_room.jl:570-584).  Single-agent, single-device
-(fold a dp mesh over the env axis with the feedforward trainer if you need
-multi-chip; the env-axis minibatch gather here assumes local arrays).
+(/root/reference/src/single_room.jl:570-584).  Single-agent; ``mesh``
+dp-shards the trainer exactly like the feedforward one: env state, hidden
+carry and rollout tensors sharded along ``dp``, params/optimizer replicated
+(gradients psum-reduced by XLA), and the env-axis minibatch shuffle made
+shard-LOCAL — the env axis splits into [d, B/d], a replicated permutation
+acts on the unsharded local axis, and minibatch slices stay zero-collective
+(same recipe as parallel/ppo.py's dp-local shuffle, minus the T fold —
+sequence replay needs time order intact).
 """
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 import numpy as np
 import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..env import Env
 from ..state import EnvState
+from . import mesh as mesh_lib
 from .ppo import PPOConfig, compute_gae, preprocess_obs
 
 
@@ -58,6 +65,8 @@ class RecurrentActorCritic(nn.Module):
                     dtype=self.dtype, name="patch",
                 )(x)
                 x = nn.relu(x)
+            elif self.trunk == "mlp":
+                pass  # flatten below; the embed Dense IS the pixel layer
             else:
                 x = nn.Conv(16, (4, 4), strides=(2, 2), dtype=self.dtype)(x)
                 x = nn.relu(x)
@@ -97,14 +106,22 @@ class RecurrentPPOTrainer:
         hidden: int = 256,
         dtype: Any = jnp.float32,
         trunk: str = "conv",
+        mesh: Optional[Mesh] = None,
     ):
         if getattr(env.game, "action_shape", ()) != ():
             raise ValueError(
                 "RecurrentPPOTrainer is single-agent; fold the player axis "
                 "with the feedforward PPOTrainer for MultiPlayerRoom"
             )
-        if env.num_envs % ppo_cfg.num_minibatches:
-            raise ValueError("num_envs must divide by num_minibatches")
+        self.mesh = mesh
+        self._dp = 1 if mesh is None else mesh.shape[mesh_lib.DATA_AXIS]
+        if env.num_envs % self._dp:
+            raise ValueError("num_envs must divide by the dp mesh size")
+        if (env.num_envs // self._dp) % ppo_cfg.num_minibatches:
+            raise ValueError(
+                "per-shard env count (num_envs / dp) must divide by "
+                "num_minibatches"
+            )
         self.env = env
         self.cfg = ppo_cfg
         self.hidden = hidden
@@ -124,13 +141,34 @@ class RecurrentPPOTrainer:
         h0 = jnp.zeros((self.env.num_envs, self.hidden), jnp.float32)
         sample = preprocess_obs(self.env.cfg, obs[:1])
         params = self.net.init(k_net, sample, h0[:1])
-        return RnnTrainState(
+        ts = RnnTrainState(
             params=params,
             opt_state=self.tx.init(params),
             env_state=env_state,
             hidden=h0,
             key=k_run,
             update_count=jnp.int32(0),
+        )
+        if self.mesh is not None:
+            ts = self.shard(ts)
+        return ts
+
+    def shard(self, ts: RnnTrainState) -> RnnTrainState:
+        """dp placement: env state + hidden carry batch-sharded, params and
+        optimizer replicated (XLA psums the minibatch gradients)."""
+        mesh = self.mesh
+        rep = mesh_lib.replicated(mesh)
+        return RnnTrainState(
+            params=jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), ts.params
+            ),
+            opt_state=jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), ts.opt_state
+            ),
+            env_state=mesh_lib.shard_env_state(ts.env_state, mesh),
+            hidden=jax.device_put(ts.hidden, mesh_lib.env_sharding(mesh)),
+            key=jax.device_put(ts.key, rep),
+            update_count=jax.device_put(ts.update_count, rep),
         )
 
     # -- the jitted train step ------------------------------------------
@@ -170,8 +208,15 @@ class RecurrentPPOTrainer:
         )
 
         # --- update: env-axis minibatches, sequence replay --------------
+        # dp-LOCAL shuffle (same rationale as parallel/ppo.py): the env
+        # axis splits into [d, B/d]; a REPLICATED permutation acts on the
+        # unsharded local axis, so shuffling and minibatch slicing compile
+        # to pure local ops — zero collectives.  Time stays a leading
+        # un-permuted axis because the GRU replay needs sequence order.
+        d = self._dp
         b = env.num_envs
-        mb = b // cfg.num_minibatches
+        bl = b // d
+        mbl = bl // cfg.num_minibatches
 
         def replay_loss(params, batch):
             """Replay the GRU over [T, mb] sequences under ``params``."""
@@ -211,21 +256,43 @@ class RecurrentPPOTrainer:
                 "entropy": entropy,
             }
 
+        def to_local(x):  # [T, B, ...] -> [T, d, B/d, ...]
+            return x.reshape(x.shape[:1] + (d, bl) + x.shape[2:])
+
         data = {
-            "obs": obs_t, "action": act_t, "log_prob": lp_t,
-            "advantage": adv, "target": target, "done": done_t,
+            "obs": to_local(obs_t), "action": to_local(act_t),
+            "log_prob": to_local(lp_t), "advantage": to_local(adv),
+            "target": to_local(target), "done": to_local(done_t),
         }
+        h0_local = ts.hidden.reshape((d, bl, self.hidden))
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh, P(None, mesh_lib.DATA_AXIS))
+            data = {
+                k: jax.lax.with_sharding_constraint(v, sh)
+                for k, v in data.items()
+            }
+            h0_local = jax.lax.with_sharding_constraint(
+                h0_local, NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
+            )
 
         def epoch(carry, _):
             params, opt_state, key = carry
             key, kp = jax.random.split(key)
-            perm = jax.random.permutation(kp, b)
+            perm = jax.random.permutation(kp, bl)
+            shuf = {k: v[:, :, perm] for k, v in data.items()}
+            h0s = h0_local[:, perm]
 
             def minibatch(carry, i):
                 params, opt_state = carry
-                idx = jax.lax.dynamic_slice_in_dim(perm, i * mb, mb)
-                batch = {k: v[:, idx] for k, v in data.items()}
-                batch["h0"] = ts.hidden[idx]
+                batch = {
+                    k: jax.lax.dynamic_slice_in_dim(
+                        v, i * mbl, mbl, axis=2
+                    ).reshape(v.shape[:1] + (d * mbl,) + v.shape[3:])
+                    for k, v in shuf.items()
+                }
+                batch["h0"] = jax.lax.dynamic_slice_in_dim(
+                    h0s, i * mbl, mbl, axis=1
+                ).reshape((d * mbl, self.hidden))
                 grads, metrics = jax.grad(
                     lambda p: replay_loss(p, batch), has_aux=True
                 )(params)

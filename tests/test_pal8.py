@@ -129,9 +129,73 @@ def test_env_spaces_and_shapes():
         assert res.obs.dtype == jnp.uint8
 
 
-def test_pal8_rejects_textures():
-    with pytest.raises(ValueError, match="camera_pal8"):
-        rcw.EnvConfig(obs_type="camera_pal8", wall_texture="brick")
+@pytest.mark.parametrize("texture", ["checker", "brick", "xor"])
+def test_pal8_textured_decodes_to_u32_exactly(texture):
+    """Textured pal8 (round 5): the extended slab x factor palette decodes
+    bit-exactly to the textured camera_u32 render — the texture factor sets
+    are finite, so 'continuous shading' still fits a u8 index."""
+    base = rcw.EnvConfig(
+        num_rays=32, height_camera_view_pu=32,
+        wall_texture=texture, texture_cells=8,
+    )
+    g32, gp8 = _pair(rcw.SingleRoom, base)
+    obs32 = jax.jit(jax.vmap(g32.observe_single))
+    obs8 = jax.jit(jax.vmap(gp8.observe_single))
+    pal = gp8.cfg.palette_np
+    assert len(pal) == 12 + 6 * len(
+        colors.texture_factors(texture, 8)
+    )
+    for seed in (0, 1):
+        states = _rollout_states(g32, jax.random.PRNGKey(seed))
+        batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+        a = np.asarray(obs32(batch))
+        b = np.asarray(obs8(batch))
+        assert b.dtype == np.uint8
+        np.testing.assert_array_equal(colors.pal8_to_u32_np(b, pal), a)
+
+
+def test_pal8_textured_dynamic_room_blocks():
+    """Block slab colors (DynamicRoom) take the textured palette too."""
+    cfg = rcw.DynamicRoomConfig(
+        num_rays=32, height_camera_view_pu=32, num_blocks=2,
+        wall_texture="checker",
+    )
+    g32, gp8 = _pair(rcw.DynamicRoom, cfg)
+    states = _rollout_states(g32, jax.random.PRNGKey(2), steps=10)
+    batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+    a = np.asarray(jax.jit(jax.vmap(g32.observe_single))(batch))
+    b = np.asarray(jax.jit(jax.vmap(gp8.observe_single))(batch))
+    np.testing.assert_array_equal(
+        colors.pal8_to_u32_np(b, gp8.cfg.palette_np), a
+    )
+
+
+def test_pal8_xor_texture_cells_bound():
+    # xor with more gradient levels than the palette can hold is rejected
+    with pytest.raises(ValueError, match="texture_cells"):
+        rcw.EnvConfig(
+            obs_type="camera_pal8", wall_texture="xor", texture_cells=64
+        )
+    # checker/brick always fit, any texture_cells
+    rcw.EnvConfig(
+        obs_type="camera_pal8", wall_texture="brick", texture_cells=64
+    )
+
+
+def test_pal8_textured_ppo_preprocess_matches_u32():
+    from raycastworlds_tpu.parallel.ppo import preprocess_obs
+
+    cfg32 = rcw.EnvConfig(
+        num_rays=16, height_camera_view_pu=16, wall_texture="xor",
+        texture_cells=4,
+    )
+    cfg8 = dataclasses.replace(cfg32, obs_type="camera_pal8")
+    g32 = rcw.SingleRoom(cfg32)
+    g8 = rcw.SingleRoom(cfg8)
+    state = jax.jit(g32.reset_single)(jax.random.PRNGKey(6))
+    f32 = preprocess_obs(cfg32, jax.jit(g32.observe_single)(state)[None])
+    f8 = preprocess_obs(cfg8, jax.jit(g8.observe_single)(state)[None])
+    np.testing.assert_allclose(np.asarray(f8), np.asarray(f32), atol=1e-6)
 
 
 def test_palette_is_frozen_and_distinct():

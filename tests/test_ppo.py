@@ -4,6 +4,7 @@ the virtual 8-device mesh (dp x mp)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import raycastworlds_tpu as rcw
 from raycastworlds_tpu.parallel import mesh as mesh_lib
@@ -242,3 +243,101 @@ def test_recurrent_ppo_rejects_multi_player():
 
     with pytest.raises(ValueError, match="single-agent"):
         RecurrentPPOTrainer(env)
+
+
+def test_recurrent_train_step_sharded_dp():
+    """GRU trainer over the virtual 8-device dp mesh: env state + hidden
+    carry sharded, params replicated, finite metrics, shardings preserved
+    across the step."""
+    from raycastworlds_tpu.parallel.ppo_rnn import RecurrentPPOTrainer
+
+    cfg = rcw.MazeConfig(
+        num_rays=16, height_camera_view_pu=16, obs_type="camera_gray",
+        height_tile_map_tu=9, width_tile_map_tu=9,
+    )
+    env = rcw.Env(rcw.Maze(cfg), num_envs=16, jit=False)
+    m = mesh_lib.make_mesh(dp=8, mp=1)
+    trainer = RecurrentPPOTrainer(
+        env, PPOConfig(rollout_steps=4, num_epochs=1, num_minibatches=2),
+        hidden=32, mesh=m,
+    )
+    ts = trainer.init(jax.random.PRNGKey(0))
+    assert len(ts.env_state.pos_wu.sharding.device_set) == 8
+    assert len(ts.hidden.sharding.device_set) == 8
+    ts2, metrics = trainer.train_step(ts)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert len(ts2.env_state.pos_wu.sharding.device_set) == 8
+    assert len(ts2.hidden.sharding.device_set) == 8
+    assert int(ts2.update_count) == 1
+
+
+def test_recurrent_train_step_hlo_has_no_data_collectives():
+    """The recurrent dp-local shuffle must keep rollout data shard-local:
+    gradient/metric all-reduces only, no all-to-all / all-gather /
+    collective-permute in the compiled train step."""
+    from raycastworlds_tpu.parallel.ppo_rnn import RecurrentPPOTrainer
+
+    cfg = rcw.EnvConfig(
+        num_rays=16, height_camera_view_pu=16, obs_type="camera_gray"
+    )
+    env = rcw.Env(rcw.SingleRoom(cfg), num_envs=16, jit=False)
+    m = mesh_lib.make_mesh(dp=8, mp=1)
+    trainer = RecurrentPPOTrainer(
+        env, PPOConfig(rollout_steps=4, num_epochs=1, num_minibatches=2),
+        hidden=32, mesh=m,
+    )
+    ts = trainer.init(jax.random.PRNGKey(0))
+    txt = jax.jit(trainer._train_step_impl).lower(ts).compile().as_text()
+    for coll in ("all-to-all", "all-gather", "collective-permute"):
+        assert coll not in txt, f"unexpected {coll} in compiled train step"
+
+
+def test_recurrent_mesh_divisibility_checks():
+    from raycastworlds_tpu.parallel.ppo_rnn import RecurrentPPOTrainer
+
+    cfg = rcw.EnvConfig(
+        num_rays=16, height_camera_view_pu=16, obs_type="camera_gray"
+    )
+    m = mesh_lib.make_mesh(dp=8, mp=1)
+    env = rcw.Env(rcw.SingleRoom(cfg), num_envs=12, jit=False)
+    with pytest.raises(ValueError, match="dp"):
+        RecurrentPPOTrainer(env, mesh=m)
+    # divides by dp but the per-shard batch (1) not by num_minibatches (4)
+    env2 = rcw.Env(rcw.SingleRoom(cfg), num_envs=8, jit=False)
+    with pytest.raises(ValueError, match="num_minibatches"):
+        RecurrentPPOTrainer(env2, mesh=m)
+
+
+def test_mlp_trunk_trains():
+    """The flat-pixel mlp trunk (max-throughput, docs/RESULTS.md round 5)
+    trains with finite losses and has the expected two hidden layers."""
+    cfg = rcw.EnvConfig(
+        num_rays=16, height_camera_view_pu=16, obs_type="camera_gray"
+    )
+    env = rcw.Env(rcw.SingleRoom(cfg), num_envs=8)
+    trainer = PPOTrainer(
+        env, PPOConfig(rollout_steps=4, num_minibatches=2), trunk="mlp",
+        hidden=32,
+    )
+    ts = trainer.init(jax.random.PRNGKey(0))
+    assert "trunk2" in ts.params["params"]
+    assert ts.params["params"]["trunk"]["kernel"].shape == (16 * 16, 32)
+    ts, metrics = trainer.train_step(ts)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_mlp_trunk_recurrent_trains():
+    from raycastworlds_tpu.parallel.ppo_rnn import RecurrentPPOTrainer
+
+    cfg = rcw.EnvConfig(
+        num_rays=16, height_camera_view_pu=16, obs_type="camera_gray"
+    )
+    env = rcw.Env(rcw.SingleRoom(cfg), num_envs=8)
+    trainer = RecurrentPPOTrainer(
+        env, PPOConfig(rollout_steps=4, num_minibatches=2), trunk="mlp",
+        hidden=32,
+    )
+    ts = trainer.init(jax.random.PRNGKey(0))
+    ts, metrics = trainer.train_step(ts)
+    assert np.isfinite(float(metrics["loss"]))
