@@ -38,10 +38,10 @@ def main():
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--trunk", type=str, default="conv",
-                   choices=["conv", "patch"])
+                   choices=["conv", "patch", "mlp"])
     p.add_argument("--recurrent", action="store_true",
                    help="GRU actor-critic (parallel/ppo_rnn.py) for "
-                        "partially observable worlds; single device")
+                        "partially observable worlds")
     p.add_argument("--mesh", action="store_true",
                    help="shard over all local devices (dp)")
     p.add_argument("--backend", type=str, default="")
@@ -77,14 +77,13 @@ def main():
     if args.recurrent:
         from raycastworlds_tpu.parallel.ppo_rnn import RecurrentPPOTrainer
 
-        if args.mesh:
-            raise SystemExit("--recurrent is single-device (no --mesh)")
         trainer = RecurrentPPOTrainer(
             env,
             PPOConfig(rollout_steps=args.rollout_steps, lr=args.lr),
             hidden=args.hidden,
             dtype=dtype,
             trunk=args.trunk,
+            mesh=mesh_lib.make_mesh() if args.mesh else None,
         )
     else:
         mesh = mesh_lib.make_mesh() if args.mesh else None

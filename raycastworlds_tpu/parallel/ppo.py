@@ -45,17 +45,24 @@ def preprocess_obs(cfg: EnvConfig, obs: jax.Array) -> jax.Array:
     if cfg.obs_type == "camera_gray":
         return obs[..., None].astype(jnp.float32)
     if cfg.obs_type == "camera_pal8":
-        # One-hot contraction against the palette RGB table instead of a
-        # gather: identical features to the camera_u32 path (exact palette
-        # decode / 255), but pure elementwise+reduce so it fuses into the
-        # first conv under dp sharding (same rationale as the log-prob
-        # one-hot in make_policy_fn).  cfg.palette_rgb_f32 is the 12-entry
-        # base table, or the extended slab x factor table for textured
-        # configs.
-        pal = jnp.asarray(cfg.palette_rgb_f32)  # [N, 3]
-        oh = jax.nn.one_hot(
-            obs.astype(jnp.int32), pal.shape[0], dtype=jnp.float32
-        )
+        # Identical features to the camera_u32 path (exact palette decode
+        # / 255) without a gather.  For the 12-entry base palette a
+        # compare-and-select chain is the cheap form: the one-hot
+        # contraction used through round 4 materializes a [.., 12] f32
+        # intermediate that halved pal8 train-step throughput (measured,
+        # docs/RESULTS.md round 5); the select chain is pure fused VPU
+        # work.  Extended textured palettes (up to 252 entries) keep the
+        # one-hot matmul — a 252-deep select chain would be worse.
+        tbl = cfg.palette_rgb_f32  # host np [N, 3]
+        x = obs.astype(jnp.int32)
+        if tbl.shape[0] <= 16:
+            out = jnp.zeros(x.shape + (3,), jnp.float32)
+            for i in range(tbl.shape[0]):
+                rgb = jnp.asarray(tbl[i])  # [3] f32 constants
+                out = jnp.where((x == i)[..., None], rgb, out)
+            return out
+        pal = jnp.asarray(tbl)  # [N, 3]
+        oh = jax.nn.one_hot(x, pal.shape[0], dtype=jnp.float32)
         return oh @ pal
     if cfg.obs_type == "camera_gray_u8":
         return obs[..., None].astype(jnp.float32) / 255.0
@@ -500,12 +507,18 @@ class PPOTrainer:
         return self._train_step(ts)
 
     def train(self, key: jax.Array, num_updates: int, log_every: int = 10):
+        import time as _time
+
         ts = self.init(key)
         history = []
+        t0 = _time.perf_counter()
         for u in range(num_updates):
             ts, metrics = self.train_step(ts)
             if (u + 1) % log_every == 0 or u == num_updates - 1:
                 m = {k: float(np.asarray(v)) for k, v in metrics.items()}
                 m["update"] = u + 1
+                # wall-clock since train start (update 1 includes compile):
+                # the honest x-axis for throughput-vs-quality comparisons
+                m["elapsed_s"] = round(_time.perf_counter() - t0, 2)
                 history.append(m)
         return ts, history

@@ -328,12 +328,16 @@ class RecurrentPPOTrainer:
         return self._train_step(ts)
 
     def train(self, key: jax.Array, num_updates: int, log_every: int = 10):
+        import time as _time
+
         ts = self.init(key)
         history = []
+        t0 = _time.perf_counter()
         for u in range(num_updates):
             ts, metrics = self.train_step(ts)
             if (u + 1) % log_every == 0 or u == num_updates - 1:
                 m = {k: float(np.asarray(v)) for k, v in metrics.items()}
                 m["update"] = u + 1
+                m["elapsed_s"] = round(_time.perf_counter() - t0, 2)
                 history.append(m)
         return ts, history
