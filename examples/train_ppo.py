@@ -32,6 +32,8 @@ def main():
     p.add_argument("--height-px", type=int, default=32)
     p.add_argument("--obs", type=str, default="camera_gray")
     p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--epochs", type=int, default=0,
+                   help="override PPO epochs (0 = PPOConfig default)")
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-episode-steps", type=int, default=0)
@@ -72,6 +74,9 @@ def main():
         game = rcw.Maze(rcw.MazeConfig(**kw))
 
     env = rcw.Env(game, num_envs=args.num_envs, jit=False)
+    ppo_cfg = PPOConfig(rollout_steps=args.rollout_steps, lr=args.lr)
+    if args.epochs:
+        ppo_cfg = ppo_cfg._replace(num_epochs=args.epochs)
     dtype = (jax.numpy.bfloat16 if args.dtype == "bfloat16"
              else jax.numpy.float32)
     if args.recurrent:
@@ -79,7 +84,7 @@ def main():
 
         trainer = RecurrentPPOTrainer(
             env,
-            PPOConfig(rollout_steps=args.rollout_steps, lr=args.lr),
+            ppo_cfg,
             hidden=args.hidden,
             dtype=dtype,
             trunk=args.trunk,
@@ -89,7 +94,7 @@ def main():
         mesh = mesh_lib.make_mesh() if args.mesh else None
         trainer = PPOTrainer(
             env,
-            PPOConfig(rollout_steps=args.rollout_steps, lr=args.lr),
+            ppo_cfg,
             mesh=mesh,
             hidden=args.hidden,
             dtype=dtype,

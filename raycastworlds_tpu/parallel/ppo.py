@@ -46,23 +46,43 @@ def preprocess_obs(cfg: EnvConfig, obs: jax.Array) -> jax.Array:
         return obs[..., None].astype(jnp.float32)
     if cfg.obs_type == "camera_pal8":
         # Identical features to the camera_u32 path (exact palette decode
-        # / 255) without a gather.  For the 12-entry base palette a
-        # compare-and-select chain is the cheap form: the one-hot
-        # contraction used through round 4 materializes a [.., 12] f32
-        # intermediate that halved pal8 train-step throughput (measured,
-        # docs/RESULTS.md round 5); the select chain is pure fused VPU
-        # work.  Extended textured palettes (up to 252 entries) keep the
-        # one-hot matmul — a 252-deep select chain would be worse.
-        tbl = cfg.palette_rgb_f32  # host np [N, 3]
-        x = obs.astype(jnp.int32)
-        if tbl.shape[0] <= 16:
-            out = jnp.zeros(x.shape + (3,), jnp.float32)
-            for i in range(tbl.shape[0]):
-                rgb = jnp.asarray(tbl[i])  # [3] f32 constants
-                out = jnp.where((x == i)[..., None], rgb, out)
-            return out
-        pal = jnp.asarray(tbl)  # [N, 3]
-        oh = jax.nn.one_hot(x, pal.shape[0], dtype=jnp.float32)
+        # / 255) without a gather.  Small palettes decode by PACKED-BYTE
+        # SELECT: the N channel bytes live in ceil(N/4) u32 compile-time
+        # constants; each pixel picks its word with a short select chain
+        # and extracts its byte with a variable shift — ~6 integer ops per
+        # channel, fully fused elementwise.  Both alternatives measured
+        # far worse at the bench_ppo shape (docs/RESULTS.md round 5): the
+        # one-hot contraction materializes a [.., N] f32 intermediate
+        # (0.86M steps/s) and a broadcast where-chain re-materializes the
+        # [.., 3] output per entry (0.22M).  Extended textured palettes
+        # (> 64 entries) keep the one-hot matmul.
+        pal_u32 = cfg.palette_np  # host np uint32 [N]
+        n = int(pal_u32.shape[0])
+        if n <= 64:
+            x = obs.astype(jnp.uint32)
+            slot = (x & 3) * 8
+
+            def channel(shift):
+                vals = [(int(v) >> shift) & 0xFF for v in pal_u32]
+                vals += [0] * (-len(vals) % 4)
+                words = [
+                    vals[i] | vals[i + 1] << 8 | vals[i + 2] << 16
+                    | vals[i + 3] << 24
+                    for i in range(0, len(vals), 4)
+                ]
+                w = jnp.uint32(words[-1])
+                for i in range(len(words) - 2, -1, -1):
+                    w = jnp.where(x < 4 * (i + 1), jnp.uint32(words[i]), w)
+                return ((w >> slot) & 0xFF).astype(jnp.float32)
+
+            return (
+                jnp.stack([channel(16), channel(8), channel(0)], axis=-1)
+                / 255.0
+            )
+        pal = jnp.asarray(cfg.palette_rgb_f32)  # [N, 3]
+        oh = jax.nn.one_hot(
+            obs.astype(jnp.int32), pal.shape[0], dtype=jnp.float32
+        )
         return oh @ pal
     if cfg.obs_type == "camera_gray_u8":
         return obs[..., None].astype(jnp.float32) / 255.0
