@@ -310,10 +310,19 @@ SUITE = [
 ]
 
 
-def run_ppo_row() -> dict:
+def run_ppo_row(
+    name: str = "ppo_train_step_mlp_bf16",
+    trunk: str = "mlp",
+    obs: str = "camera_gray",
+    num_envs: int = 2048,
+    num_epochs: int = 0,
+    recurrent: bool = False,
+) -> dict:
     """Learner-in-the-loop row: env-steps/s through the FULL PPO train step
-    (rollout + GAE + clipped update, one SPMD program) at the bench_ppo
-    config with the throughput trunk (8x8 patch embed, bf16 compute)."""
+    (rollout + GAE + clipped update, one SPMD program).  The default is the
+    round-5 throughput trunk (flat pixel mlp, bf16 compute — the update
+    phase's giant patch activation was the measured wall, docs/RESULTS.md
+    round 5)."""
     import time as _time
 
     import jax.numpy as jnp
@@ -321,15 +330,24 @@ def run_ppo_row() -> dict:
     import raycastworlds_tpu as rcw
     from raycastworlds_tpu.parallel.ppo import PPOConfig, PPOTrainer
 
-    num_envs, rollout_steps, updates = 2048, 64, 6
+    rollout_steps, updates = 64, 6
     cfg = rcw.EnvConfig(
-        num_rays=64, height_camera_view_pu=64, obs_type="camera_gray"
+        num_rays=64, height_camera_view_pu=64, obs_type=obs
     )
     env = rcw.Env(rcw.SingleRoom(cfg), num_envs=num_envs, jit=False)
-    trainer = PPOTrainer(
-        env, PPOConfig(rollout_steps=rollout_steps),
-        hidden=256, dtype=jnp.bfloat16, trunk="patch",
-    )
+    ppo_cfg = PPOConfig(rollout_steps=rollout_steps)
+    if num_epochs:
+        ppo_cfg = ppo_cfg._replace(num_epochs=num_epochs)
+    if recurrent:
+        from raycastworlds_tpu.parallel.ppo_rnn import RecurrentPPOTrainer
+
+        trainer = RecurrentPPOTrainer(
+            env, ppo_cfg, hidden=256, dtype=jnp.bfloat16, trunk=trunk
+        )
+    else:
+        trainer = PPOTrainer(
+            env, ppo_cfg, hidden=256, dtype=jnp.bfloat16, trunk=trunk,
+        )
     ts = trainer.init(jax.random.PRNGKey(0))
     ts, metrics = trainer.train_step(ts)  # compile
     float(metrics["loss"])
@@ -340,14 +358,16 @@ def run_ppo_row() -> dict:
     dt = _time.perf_counter() - t0
     sps = num_envs * rollout_steps * updates / dt
     return {
-        "name": "ppo_train_step_patch_bf16",
+        "name": name,
         "metric": "ppo_env_steps_per_sec",
         "value": round(sps, 1),
         "unit": "steps/s (through full PPO train step)",
         "config": {
             "num_envs": num_envs, "rollout_steps": rollout_steps,
-            "obs": "camera_gray", "hidden": 256, "dtype": "bfloat16",
-            "trunk": "patch", "device": str(jax.devices()[0]),
+            "obs": obs, "hidden": 256, "dtype": "bfloat16",
+            "trunk": trunk, "recurrent": recurrent,
+            "num_epochs": ppo_cfg.num_epochs,
+            "device": str(jax.devices()[0]),
         },
         "seconds": round(dt, 3),
     }
@@ -371,22 +391,34 @@ def run_suite() -> None:
             ),
             file=sys.stderr,
         )
-    try:
-        rows.append(run_ppo_row())
-    except Exception as e:
-        rows.append({
-            "name": "ppo_train_step_patch_bf16",
-            "error": f"{type(e).__name__}: {e}",
-        })
-    print(
-        f"# ppo_train_step_patch_bf16: "
-        + (
-            f"{rows[-1]['value']:.0f} steps/s"
-            if "value" in rows[-1]
-            else rows[-1].get("error", "?")
+    ppo_rows = [
+        # default learner config (mlp trunk, bf16, 2 epochs)
+        dict(name="ppo_train_step_mlp_bf16"),
+        # max-throughput preset (1-byte luma obs, 1 epoch, 4096 envs)
+        dict(
+            name="ppo_train_step_throughput", obs="camera_gray_u8",
+            num_envs=4096, num_epochs=1,
         ),
-        file=sys.stderr,
-    )
+        # recurrent GRU trainer (first-class since round 4; benched round 5)
+        dict(name="ppo_train_step_recurrent_gru", recurrent=True),
+    ]
+    for kw in ppo_rows:
+        try:
+            rows.append(run_ppo_row(**kw))
+        except Exception as e:
+            rows.append({
+                "name": kw["name"],
+                "error": f"{type(e).__name__}: {e}",
+            })
+        print(
+            f"# {kw['name']}: "
+            + (
+                f"{rows[-1]['value']:.0f} steps/s"
+                if "value" in rows[-1]
+                else rows[-1].get("error", "?")
+            ),
+            file=sys.stderr,
+        )
     head = rows[0] if rows and "value" in rows[0] else {}
     # `summary` is deliberately the LAST key: json.dumps preserves insertion
     # order, so a tail-capture of this line (the driver records the final
