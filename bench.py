@@ -126,10 +126,12 @@ def build_env(
     map_w: int = 0,
     flood_iters: int = -1,
     reset_budget: int = 0,
-    raycast: str = "crossing",
+    raycast: str = "auto",
 ):
     """Construct the benchmark Env for one workload row (shared with
-    bench_scaling.py)."""
+    bench_scaling.py).  ``raycast`` defaults to "auto" — the shape-aware
+    dispatch users get with no flags (round 5): XLA crossing below 256
+    rays, the Pallas crossing kernel at >=256 rays on TPU."""
     import raycastworlds_tpu as rcw
 
     kw = dict(
@@ -202,7 +204,7 @@ def run_one(
     map_w: int = 0,
     flood_iters: int = -1,
     reset_budget: int = 0,
-    raycast: str = "crossing",
+    raycast: str = "auto",
 ) -> dict:
     """Benchmark one configuration; returns the result row dict."""
     from raycastworlds_tpu.parallel.rollout import steps_per_second_program
@@ -255,6 +257,7 @@ def run_one(
             "reset_budget": reset_budget,
             "device": str(jax.devices()[0]),
             "raycast_backend": cfg.raycast_backend,
+            "resolved_backend": cfg.resolved_raycast_backend,
         },
         "times_s": [round(t, 4) for t in times],
         "checksum": float(acc),
@@ -465,8 +468,9 @@ def main() -> None:
     p.add_argument("--map-w", type=int, default=0, help="override map width")
     p.add_argument("--flood-iters", type=int, default=-1, help="random_room reachability budget")
     p.add_argument("--reset-budget", type=int, default=0, help="budgeted auto-reset (0 = dense)")
-    p.add_argument("--raycast", type=str, default="crossing",
-                   help="crossing|scan|scan_flat|analytic|pallas|fused")
+    p.add_argument("--raycast", type=str, default="auto",
+                   help="auto|crossing|crossing_kernel|crossing_kernel_fused"
+                        "|scan|scan_flat|analytic|pallas|fused")
     p.add_argument("--backend", type=str, default="", help="override jax_platforms")
     args = p.parse_args()
 
