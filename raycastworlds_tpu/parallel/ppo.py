@@ -386,6 +386,16 @@ class PPOTrainer:
         )
 
         aux: Dict[str, jax.Array] = {}
+        # goal-reach rate among finished episodes (truncations score 0) —
+        # the on-device analog of utils/profiling.device_metrics
+        ep_reward = (
+            jnp.sum(traj.reward, axis=-1) if self.num_players else traj.reward
+        )
+        n_ep = jnp.sum(traj.done.astype(jnp.int32))
+        n_succ = jnp.sum((traj.done & (ep_reward > 0)).astype(jnp.int32))
+        aux["success_rate"] = jnp.where(
+            n_ep > 0, n_succ / jnp.maximum(n_ep, 1), 0.0
+        )
         if self.num_players:
             # Fold the player axis into the env axis ([T, B, P, ...] ->
             # [T, B*P, ...]; B-major, so dp shard boundaries are preserved)

@@ -313,7 +313,12 @@ class RecurrentPPOTrainer:
 
         metrics = jax.tree_util.tree_map(jnp.mean, metrics)
         metrics["reward_per_step"] = jnp.mean(rew_t)
-        metrics["episodes_finished"] = jnp.sum(done_t.astype(jnp.int32))
+        n_ep = jnp.sum(done_t.astype(jnp.int32))
+        metrics["episodes_finished"] = n_ep
+        n_succ = jnp.sum((done_t & (rew_t > 0)).astype(jnp.int32))
+        metrics["success_rate"] = jnp.where(
+            n_ep > 0, n_succ / jnp.maximum(n_ep, 1), 0.0
+        )
 
         return RnnTrainState(
             params=params,

@@ -341,3 +341,29 @@ def test_mlp_trunk_recurrent_trains():
     ts = trainer.init(jax.random.PRNGKey(0))
     ts, metrics = trainer.train_step(ts)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_trainer_success_rate_metric():
+    """Both trainers report a [0, 1] goal-reach rate among finished
+    episodes (0 when nothing finished)."""
+    from raycastworlds_tpu.parallel.ppo_rnn import RecurrentPPOTrainer
+
+    cfg = rcw.EnvConfig(
+        num_rays=16, height_camera_view_pu=16, obs_type="camera_gray",
+        max_episode_steps=2,  # force truncations -> episodes finish
+    )
+    env = rcw.Env(rcw.SingleRoom(cfg), num_envs=8)
+    for make in (
+        lambda: PPOTrainer(
+            env, PPOConfig(rollout_steps=4, num_minibatches=2), hidden=32
+        ),
+        lambda: RecurrentPPOTrainer(
+            env, PPOConfig(rollout_steps=4, num_minibatches=2), hidden=32
+        ),
+    ):
+        trainer = make()
+        ts = trainer.init(jax.random.PRNGKey(0))
+        ts, metrics = trainer.train_step(ts)
+        sr = float(metrics["success_rate"])
+        assert 0.0 <= sr <= 1.0
+        assert float(metrics["episodes_finished"]) > 0  # truncations fired
