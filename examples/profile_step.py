@@ -58,7 +58,8 @@ def main():
     p.add_argument("--obs", type=str, default="camera_u32")
     p.add_argument("--game", type=str, default="single_room")
     p.add_argument("--steps", type=int, default=64)
-    p.add_argument("--raycast", type=str, default="crossing")
+    p.add_argument("--raycast", type=str, default="auto")
+    p.add_argument("--reset-budget", type=int, default=0)
     p.add_argument("--top", type=int, default=25)
     p.add_argument("--trace-dir", type=str, default="/tmp/rcw_trace_step")
     args = p.parse_args()
@@ -70,6 +71,7 @@ def main():
     env = build_env(
         game=args.game, num_envs=args.num_envs, num_rays=args.num_rays,
         height_px=args.height_px, obs=args.obs, raycast=args.raycast,
+        reset_budget=args.reset_budget,
     )
     state, _ = jax.jit(env._reset_impl)(jax.random.PRNGKey(0))
     run = jax.jit(steps_per_second_program(env, args.steps))
