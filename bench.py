@@ -163,6 +163,13 @@ def build_env(
             kw.update(width_tile_map_tu=map_w)
         cfg = rcw.MultiGoalConfig(**kw)
         env_game = rcw.MultiGoalRoom(cfg)
+    elif game == "locked_room":
+        if map_h:
+            kw.update(height_tile_map_tu=map_h)
+        if map_w:
+            kw.update(width_tile_map_tu=map_w)
+        cfg = rcw.LockedRoomConfig(**kw)
+        env_game = rcw.LockedRoom(cfg)
     elif game == "dynamic_room":
         if map_h:
             kw.update(height_tile_map_tu=map_h)
@@ -283,6 +290,7 @@ SUITE = [
         game="maze", num_envs=32768, reset_budget=512, steps=256, reps=3)),
     ("multi_goal_8192", dict(game="multi_goal", num_envs=8192, reps=3)),
     ("dynamic_room_8192", dict(game="dynamic_room", num_envs=8192, reps=3)),
+    ("locked_room_8192", dict(game="locked_room", num_envs=8192, reps=3)),
     ("ref_default_res_512x256", dict(
         num_envs=1024, num_rays=512, height_px=256, steps=128, reps=3)),
     ("single_room_48x48_map", dict(
@@ -461,7 +469,8 @@ def main() -> None:
     p.add_argument("--obs", type=str, default="camera_u32")
     p.add_argument("--game", type=str, default="single_room",
                    choices=["single_room", "random_room", "maze",
-                            "multi_goal", "dynamic_room", "multi_player"])
+                            "multi_goal", "dynamic_room", "multi_player",
+                            "locked_room"])
     p.add_argument("--texture", type=str, default="none",
                    help="wall texture: none|checker|brick|xor")
     p.add_argument("--map-h", type=int, default=0, help="override map height")

@@ -8,7 +8,8 @@ style raycast rendering), designed batched, functional and device-resident:
 * ``EnvState`` — immutable struct-of-arrays env state pytree
 * ``models``   — world families: SingleRoom (reference parity), RandomRoom,
   Maze (procedural multi-room), MultiGoalRoom (K collectable goals),
-  DynamicRoom (moving obstacle blocks)
+  DynamicRoom (moving obstacle blocks), LockedRoom (key unlocks the
+  door line to the goal — two-stage sparse reward)
 * ``ops``      — raycast (scan + Pallas DDA), collision, render, sampling
 * ``parallel`` — mesh sharding, on-device rollouts, PPO learner
 * ``oracle``   — NumPy scalar reference implementation for parity tests
@@ -31,6 +32,7 @@ from .models.random_room import RandomRoom, RandomRoomConfig
 from .models.maze import Maze, MazeConfig
 from .models.multi_goal import MultiGoalRoom, MultiGoalConfig
 from .models.dynamic_room import DynamicRoom, DynamicRoomConfig
+from .models.locked_room import LockedRoom, LockedRoomConfig
 from .models.multi_player import MultiPlayerRoom, MultiPlayerConfig
 from .gym_compat import GymAdapter, GymVectorAdapter
 from .wrappers import FrameStack, ObsTransform
@@ -53,6 +55,8 @@ __all__ = [
     "MultiGoalConfig",
     "DynamicRoom",
     "DynamicRoomConfig",
+    "LockedRoom",
+    "LockedRoomConfig",
     "MultiPlayerRoom",
     "MultiPlayerConfig",
     "GymAdapter",

@@ -835,3 +835,109 @@ class OracleDynamicRoom(OracleWorld):
             self.done = False
         self.t += 1
         self.episode_return = np.float32(self.episode_return + self.reward)
+
+
+class OracleLockedRoom(OracleWorld):
+    """Scalar mirror of models/locked_room.py: a full-height DOOR line at
+    ``cfg.resolved_door_col`` acts as walls and renders in the blue block
+    pair until the KEY — a red zero-reward collectable on the near side —
+    is touched (contact collects and blocks the move, the goal-blocks-entry
+    rule applied to the key); the goal lives on the far side.  Doors ride
+    the oracle's block list and the key its goal-tiles list, so the
+    obstacle union and column colors mirror the JAX side by construction.
+    """
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self.door_col = cfg.resolved_door_col
+        self.key_tu: Tuple[int, int] = (0, 0)
+        self.key_held = False
+
+    def _sync_solids(self) -> None:
+        h = self.cfg.height_tile_map_tu
+        if self.key_held:
+            self.blocks = []
+            self.goal_tiles = [self.goal_tu]
+        else:
+            self.blocks = [
+                [i, self.door_col, 0] for i in range(1, h - 1)
+            ]
+            self.goal_tiles = [self.goal_tu, self.key_tu]
+
+    def reset(self, key) -> None:
+        """Draw order mirrors models/locked_room.py reset_single:
+        split(key, 5) -> (next, k_goal, k_key, k_spawn, k_dir); goal
+        uniform right of the door, key uniform left, spawn via the
+        rank-with-one-exclusion closed form over the left interior."""
+        import jax
+
+        cfg = self.cfg
+        h, w = cfg.height_tile_map_tu, cfg.width_tile_map_tu
+        dc = self.door_col
+        next_key, k_goal, k_key, k_spawn, k_dir = jax.random.split(key, 5)
+
+        g = np.asarray(jax.random.randint(
+            k_goal, (2,), np.array([1, dc + 1]), np.array([h - 1, w - 1]),
+            dtype=np.int32,
+        ))
+        self.goal_tu = (int(g[0]), int(g[1]))
+        kt = np.asarray(jax.random.randint(
+            k_key, (2,), np.array([1, 1]), np.array([h - 1, dc]),
+            dtype=np.int32,
+        ))
+        self.key_tu = (int(kt[0]), int(kt[1]))
+
+        wi = dc - 1
+        n = np.float32((h - 2) * wi - 1)
+        u = np.float32(np.asarray(
+            jax.random.uniform(k_spawn, (), dtype="float32")
+        ))
+        kk = np.floor(np.float32(u * n))
+        kk = int(min(max(kk, np.float32(0.0)),
+                     np.float32(max(float(n) - 1.0, 0.0))))
+        key_rank = (self.key_tu[0] - 1) * wi + (self.key_tu[1] - 1)
+        r = kk + (1 if key_rank <= kk else 0)
+        spawn = (1 + r // wi, 1 + r % wi)
+        self.pos_wu = np.array([spawn[0] + 0.5, spawn[1] + 0.5], np.float32)
+        self.dir_au = int(np.asarray(jax.random.randint(
+            k_dir, (), 0, cfg.num_directions, dtype=np.int32)))
+
+        self.key_held = False
+        self._sync_solids()
+        self.reward = np.float32(0)
+        self.done = False
+        self.t = 0
+        self.episode_return = np.float32(0)
+        self.rng_key = next_key
+
+    def step(self, action: int) -> None:
+        cfg = self.cfg
+        assert 0 <= action < 4
+        if action < 2:
+            d = self.directions_wu[self.dir_au]
+            inc = np.float32(cfg.position_increment_wu)
+            sign = np.float32(1.0 if action == 0 else -1.0)
+            cand = (self.pos_wu + sign * inc * d).astype(np.float32)
+            hit_goal = self._circle_hits_tile(cand, *self.goal_tu)
+            hit_key = (not self.key_held) and self._circle_hits_tile(
+                cand, *self.key_tu
+            )
+            # doors (the block list) are solid BEFORE this step's collection
+            solid = self.wall_map | self._block_map()
+            hit_wall = self._is_colliding(solid, cand)
+            self.reward = np.float32(cfg.goal_reward if hit_goal else 0)
+            self.done = bool(hit_goal)
+            if hit_key:
+                self.key_held = True
+                self._sync_solids()
+            if (not hit_goal) and (not hit_key) and (not hit_wall):
+                self.pos_wu = cand
+        else:
+            if action == 2:
+                self.dir_au = (self.dir_au + 1) % cfg.num_directions
+            else:
+                self.dir_au = (self.dir_au - 1) % cfg.num_directions
+            self.reward = np.float32(0)
+            self.done = False
+        self.t += 1
+        self.episode_return = np.float32(self.episode_return + self.reward)

@@ -70,6 +70,10 @@ class EnvState:
     #               collected slots at (-1, -1) (kept in sync so the
     #               closed-form box raycaster needs no unpack/top-k)
     goal_tiles: Any = None
+    #   key_tu      int32[2] collectable key tile (LockedRoom)
+    #   key_held    bool     key collected -> door tiles vanish
+    key_tu: Any = None
+    key_held: Any = None
 
     @property
     def batch_shape(self):

@@ -62,6 +62,9 @@ def _cases():
                 num_goals=3, num_rays=64, height_camera_view_pu=48
             )
         ),
+        "locked_room": rcw.LockedRoom(
+            rcw.LockedRoomConfig(num_rays=64, height_camera_view_pu=48)
+        ),
         "dynamic_room": rcw.DynamicRoom(
             rcw.DynamicRoomConfig(
                 num_blocks=3, num_rays=64, height_camera_view_pu=48

@@ -53,6 +53,10 @@ FAMILY_CASES = [
         ),
     ),
     (
+        rcw.LockedRoom,
+        rcw.LockedRoomConfig(num_rays=32, height_camera_view_pu=32),
+    ),
+    (
         rcw.Maze,
         rcw.MazeConfig(
             num_rays=32, height_camera_view_pu=32,
