@@ -19,7 +19,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--game",
                    choices=["single_room", "random_room", "maze",
-                            "multi_player"],
+                            "multi_player", "locked_room"],
                    default="single_room")
     p.add_argument("--num-players", type=int, default=2,
                    help="players per env (multi_player; one shared policy)")
@@ -70,6 +70,8 @@ def main():
     elif args.game == "multi_player":
         game = rcw.MultiPlayerRoom(rcw.MultiPlayerConfig(
             num_players=args.num_players, **kw))
+    elif args.game == "locked_room":
+        game = rcw.LockedRoom(rcw.LockedRoomConfig(**kw))
     else:
         game = rcw.Maze(rcw.MazeConfig(**kw))
 

@@ -95,3 +95,30 @@ def test_checkpoint_rnn_train_state_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(ts1.hidden), np.asarray(ts2.hidden)
     )
+
+
+def test_checkpoint_locked_room_state_roundtrip(tmp_path):
+    """LockedRoom EnvState (key_tu / key_held leaves) round-trips exactly
+    and resumes bit-identically — including a collected key."""
+    cfg = rcw.LockedRoomConfig(num_rays=16, height_camera_view_pu=16)
+    env = rcw.Env(rcw.LockedRoom(cfg), num_envs=4)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    # flip one env's key to exercise a non-uniform key_held leaf
+    state = state.replace(
+        key_held=jnp.asarray([True, False, False, True])
+    )
+    res = env.step(state, env.sample_action(jax.random.PRNGKey(1)))
+    path = str(tmp_path / "locked_state")
+    checkpoint.save(path, res.state)
+    loaded = checkpoint.restore(path, res.state)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(res.state),
+        jax.tree_util.tree_leaves(loaded),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(loaded.key_held), np.asarray(res.state.key_held)
+    )
+    a1 = env.step(res.state, env.sample_action(jax.random.PRNGKey(2)))
+    a2 = env.step(loaded, env.sample_action(jax.random.PRNGKey(2)))
+    np.testing.assert_array_equal(np.asarray(a1.obs), np.asarray(a2.obs))
